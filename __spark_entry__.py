@@ -1,38 +1,178 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: Direct-Map the sf0.001 TPC-H-ish star schema to
+an RDF triples DataFrame (the engine's core capability, SURVEY.md M1) and
+aggregate triple counts per predicate.
+
+``queries()`` / ``oracle_sql()`` — per-operator correctness contract; the
+DuckDB oracle re-derives the same result in ANSI SQL (SURVEY.md §5 item 2).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+TPCH_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+BASE = "http://example.com/base/"
+
+# constraints manifest for the TPC-H-ish star schema (FIXTURES.md §3 role:
+# replaces DBI primary_key/foreign_key_info for Direct Mapping)
+TPCH_CONSTRAINTS = {
+    "region": {"pk": ["r_regionkey"], "fks": []},
+    "nation": {
+        "pk": ["n_nationkey"],
+        "fks": [{"cols": ["n_regionkey"], "parent": "region", "parent_cols": ["r_regionkey"]}],
+    },
+    "customer": {
+        "pk": ["c_custkey"],
+        "fks": [{"cols": ["c_nationkey"], "parent": "nation", "parent_cols": ["n_nationkey"]}],
+    },
+    "supplier": {
+        "pk": ["s_suppkey"],
+        "fks": [{"cols": ["s_nationkey"], "parent": "nation", "parent_cols": ["n_nationkey"]}],
+    },
+    "part": {"pk": ["p_partkey"], "fks": []},
+    "orders": {
+        "pk": ["o_orderkey"],
+        "fks": [{"cols": ["o_custkey"], "parent": "customer", "parent_cols": ["c_custkey"]}],
+    },
+}
+
+
+def _load(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    out = {}
+    for n in names or TPCH_TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        df.createOrReplaceTempView(n)
+        out[n] = df
+    return out
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: Direct-Map nation+region -> triples -> counts
+    per predicate (driver checks rows>0, stable schema)."""
+    from p5_rdf_rdb2rdf_spark.direct_mapping import direct_map
+
+    tables = _load(spark, "/root/testdata/sf0.001", ["region", "nation", "customer", "orders"])
+    triples = direct_map(
+        spark, tables, TPCH_CONSTRAINTS, base=BASE, only=["region", "nation", "customer", "orders"]
+    )
+    return (
+        triples.groupBy("p_value")
+        .agg(F.count(F.lit(1)).alias("n_triples"))
+        .orderBy("p_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries + DuckDB oracle (driver runs at sf0.01)
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# --- O1/O30/O32/O33: DM row nodes + type triples + typed literals ----------
+@_q(
+    "dm_nation_triples",
+    f"""
+    WITH t AS (
+      SELECT '{BASE}nation/n_nationkey=' || CAST(n_nationkey AS VARCHAR) AS s,
+             'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+             '{BASE}nation' AS o
+      FROM nation
+      UNION ALL
+      SELECT '{BASE}nation/n_nationkey=' || CAST(n_nationkey AS VARCHAR),
+             '{BASE}nation#n_nationkey', CAST(n_nationkey AS VARCHAR)
+      FROM nation
+      UNION ALL
+      SELECT '{BASE}nation/n_nationkey=' || CAST(n_nationkey AS VARCHAR),
+             '{BASE}nation#n_name', n_name
+      FROM nation WHERE n_name IS NOT NULL
+      UNION ALL
+      SELECT '{BASE}nation/n_nationkey=' || CAST(n_nationkey AS VARCHAR),
+             '{BASE}nation#n_regionkey', CAST(n_regionkey AS VARCHAR)
+      FROM nation WHERE n_regionkey IS NOT NULL
+      UNION ALL
+      SELECT '{BASE}nation/n_nationkey=' || CAST(n_nationkey AS VARCHAR),
+             '{BASE}nation#ref-n_regionkey',
+             '{BASE}region/r_regionkey=' || CAST(n_regionkey AS VARCHAR)
+      FROM nation WHERE n_regionkey IS NOT NULL
+    )
+    SELECT DISTINCT s AS s_value, p AS p_value, o AS o_value FROM t
+    ORDER BY s_value, p_value, o_value
+    """,
+)
+def dm_nation_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p5_rdf_rdb2rdf_spark.direct_mapping import direct_map
+
+    tables = _load(spark, sf_dir, ["region", "nation"])
+    t = direct_map(spark, tables, TPCH_CONSTRAINTS, base=BASE, only=["nation", "region"])
+    return (
+        t.where(F.col("s_value").startswith(f"{BASE}nation/"))
+        .select("s_value", "p_value", "o_value")
+        .distinct()
+        .orderBy("s_value", "p_value", "o_value")
+    )
+
+
+# --- O18: distinct-triple materialization, counts per predicate ------------
+@_q(
+    "dm_predicate_counts",
+    f"""
+    WITH t AS (
+      SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p FROM customer
+      UNION ALL SELECT '{BASE}customer#c_custkey' FROM customer
+      UNION ALL SELECT '{BASE}customer#c_name' FROM customer WHERE c_name IS NOT NULL
+      UNION ALL SELECT '{BASE}customer#c_nationkey' FROM customer WHERE c_nationkey IS NOT NULL
+      UNION ALL SELECT '{BASE}customer#c_acctbal' FROM customer WHERE c_acctbal IS NOT NULL
+      UNION ALL SELECT '{BASE}customer#c_mktsegment' FROM customer WHERE c_mktsegment IS NOT NULL
+      UNION ALL SELECT '{BASE}customer#ref-c_nationkey' FROM customer WHERE c_nationkey IS NOT NULL
+    )
+    SELECT p AS p_value, COUNT(*) AS n_triples FROM t GROUP BY p ORDER BY p
+    """,
+)
+def dm_predicate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p5_rdf_rdb2rdf_spark.direct_mapping import direct_map
+
+    tables = _load(spark, sf_dir, ["nation", "customer"])
+    t = direct_map(spark, tables, TPCH_CONSTRAINTS, base=BASE, only=["customer"])
+    return (
+        t.groupBy("p_value").agg(F.count(F.lit(1)).alias("n_triples")).orderBy("p_value")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLE)

@@ -1,0 +1,397 @@
+"""Mapping IR -> DataFrame plan.
+
+This replaces the reference's executor — the ``fetchrow_hashref`` row loop in
+``lib/RDF/RDB2RDF/Simple.pm::process`` (row-at-a-time: null checks ->
+template expansion + iri-safe encode -> RDF::Trine statement -> model/callback;
+SURVEY.md §4.1) — with a declarative, Catalyst-optimizable plan:
+
+    per triples map, per (graph x predicate x object) pattern:
+        scan -> null filters -> term Column expressions -> 8-column select
+    unionByName(all patterns) -> dropDuplicates (RDF set semantics, O4/O18)
+
+Scale notes (100 TB framing):
+- Term construction is pure Column expressions (whole-stage codegen); the
+  only potentially-Python op, IRI-safe encoding, is a JVM expression too
+  (:func:`..iri.iri_safe_col`). No Python workers anywhere in the hot path.
+- Each pattern re-reads only the columns it references — Catalyst prunes the
+  parquet/Iceberg scan per branch, so the union of N patterns costs N narrow
+  scans, not N full-width scans. For sources feeding many patterns, pass
+  ``persist_sources=True`` to scan once and reuse.
+- Ref-object joins (R2RML §8, O13) are null-rejecting equi-joins; Spark
+  picks broadcast/SMJ via stats + AQE. Pass ``broadcast_parents={'dept'}``
+  to force-broadcast small dimension maps, matching the north_star
+  'broadcast dictionaries for hot entities' mandate.
+- The same-logical-table elision (O14) never builds the join at all — a
+  rewrite Catalyst cannot do because the join would otherwise exist.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .ir import Mapping, PredicateObjectMap, RefObject, TermMap, TriplesMap, parse_template
+from .iri import iri_safe_col, iri_safe_py
+from .terms import (
+    KIND_BLANK,
+    KIND_IRI,
+    KIND_LITERAL,
+    RDF_TYPE,
+    TRIPLE_COLUMNS,
+    lexical_form,
+    lexical_is_iri_safe,
+    natural_datatype,
+)
+
+_NULL = F.lit(None).cast("string")
+
+
+class CompileError(ValueError):
+    pass
+
+
+# --------------------------------------------------------------------------
+# term -> column expressions
+
+
+class TermExprs:
+    """Column expressions for one term map over one source relation."""
+
+    __slots__ = ("kind", "value", "datatype", "lang", "guards")
+
+    def __init__(self, kind: Column, value: Column, datatype: Column, lang: Column, guards: list[Column]):
+        self.kind = kind
+        self.value = value
+        self.datatype = datatype
+        self.lang = lang
+        self.guards = guards  # non-null predicates (R2RML §11.3 NULL suppression, O10)
+
+
+def _resolve(name: str, colmap: dict[str, str] | None) -> str:
+    return colmap[name] if colmap and name in colmap else name
+
+
+def _field_type(schema: T.StructType, name: str) -> T.DataType:
+    for f in schema.fields:
+        if f.name == name:
+            return f.dataType
+    # case-insensitive fallback (SQL identifiers are case-insensitive)
+    for f in schema.fields:
+        if f.name.lower() == name.lower():
+            return f.dataType
+    raise CompileError(f"column {name!r} not found in {[f.name for f in schema.fields]}")
+
+
+def compile_term(tm: TermMap, schema: T.StructType, colmap: dict[str, str] | None = None) -> TermExprs:
+    """Build (kind, value, datatype, lang) Column expressions for a term map.
+
+    ``colmap`` renames referenced columns (used on the aliased parent side of
+    ref-object joins).
+
+    Encoding rule (R2RML §7.3): IRI-safe percent-encoding applies to values
+    substituted into a **template** whose term type is IRI — never to
+    rr:column-based IRIs, literals, or blank labels.
+    """
+    if tm.kind == "constant":
+        kind = F.lit(tm.constant_kind or tm.term_type)
+        return TermExprs(
+            kind,
+            F.lit(tm.constant_value),
+            F.lit(tm.datatype) if tm.datatype else _NULL,
+            F.lit(tm.language) if tm.language else _NULL,
+            [],
+        )
+
+    if tm.kind == "column":
+        src = _resolve(tm.column, colmap)
+        dtype = _field_type(schema, src)
+        col = F.col(src)
+        guards = [col.isNotNull()]
+        if tm.term_type == KIND_LITERAL:
+            lex = lexical_form(col, dtype)
+            if tm.language:
+                return TermExprs(F.lit(KIND_LITERAL), lex, _NULL, F.lit(tm.language), guards)
+            dt = tm.datatype or natural_datatype(dtype)
+            return TermExprs(F.lit(KIND_LITERAL), lex, F.lit(dt) if dt else _NULL, _NULL, guards)
+        # termType IRI/BlankNode from a column: value used verbatim (no encoding)
+        return TermExprs(F.lit(tm.term_type), col.cast("string"), _NULL, _NULL, guards)
+
+    if tm.kind == "expr":
+        guards = [F.col(_resolve(c, colmap)).isNotNull() for c in tm.guard_columns]
+        value = F.expr(tm.expr)
+        if tm.term_type == KIND_LITERAL:
+            dt = F.lit(tm.datatype) if tm.datatype else _NULL
+            lang = F.lit(tm.language) if tm.language else _NULL
+            return TermExprs(F.lit(KIND_LITERAL), value.cast("string"), dt, lang, guards)
+        return TermExprs(F.lit(tm.term_type), value.cast("string"), _NULL, _NULL, guards)
+
+    if tm.kind == "template":
+        parts = parse_template(tm.template)
+        exprs: list[Column] = []
+        guards: list[Column] = []
+        encode = tm.term_type == KIND_IRI
+        for is_col, seg in parts:
+            if not is_col:
+                exprs.append(F.lit(seg))
+                continue
+            src = _resolve(seg, colmap)
+            dtype = _field_type(schema, src)
+            col = F.col(src)
+            guards.append(col.isNotNull())
+            lex = lexical_form(col, dtype)
+            if encode and not lexical_is_iri_safe(dtype):
+                lex = iri_safe_col(lex)
+            exprs.append(lex)
+        value = F.concat(*exprs) if len(exprs) > 1 else exprs[0]
+        if tm.term_type == KIND_LITERAL:
+            dt = F.lit(tm.datatype) if tm.datatype else _NULL
+            lang = F.lit(tm.language) if tm.language else _NULL
+            return TermExprs(F.lit(KIND_LITERAL), value, dt, lang, guards)
+        return TermExprs(F.lit(tm.term_type), value, _NULL, _NULL, guards)
+
+    raise CompileError(f"unknown term map kind {tm.kind!r}")
+
+
+# --------------------------------------------------------------------------
+# graph handling (R2RML §9, SURVEY.md 'Graph (named/default)')
+
+
+def _graph_terms(tm: TriplesMap, pom: PredicateObjectMap | None) -> list[TermMap | None]:
+    graphs = list(tm.graphs) + (list(pom.graphs) if pom else [])
+    if not graphs:
+        return [None]  # default graph
+    out: list[TermMap | None] = []
+    for g in graphs:
+        if (
+            g.kind == "constant"
+            and g.constant_value == "http://www.w3.org/ns/r2rml#defaultGraph"
+        ):
+            out.append(None)
+        else:
+            out.append(g)
+    return out
+
+
+# --------------------------------------------------------------------------
+# source resolution
+
+
+def _split_select(select: str) -> list[str]:
+    """Split a SQL projection list on top-level commas (parens/quotes aware)."""
+    items, depth, buf, q = [], 0, [], None
+    for ch in select:
+        if q:
+            buf.append(ch)
+            if ch == q:
+                q = None
+            continue
+        if ch in "'\"":
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            items.append("".join(buf).strip())
+            buf = []
+            continue
+        buf.append(ch)
+    if buf and "".join(buf).strip():
+        items.append("".join(buf).strip())
+    return items
+
+
+def resolve_source(
+    spark: SparkSession, tm: TriplesMap, tables: dict[str, DataFrame] | None
+) -> DataFrame:
+    """Logical table -> DataFrame (O1 base scan / O2 rr:sqlQuery view scan).
+
+    ``rr:sqlQuery`` runs through ``spark.sql`` over registered temp views —
+    the R2RML-view semantics with Catalyst doing all relational evaluation
+    (the reference delegates this to the RDBMS; we delegate to Spark SQL).
+    """
+    if tm.sql:
+        df = spark.sql(tm.sql)
+    elif tm.table:
+        if tables and tm.table in tables:
+            df = tables[tm.table]
+        else:
+            df = spark.table(tm.table)
+    else:
+        raise CompileError(f"triples map {tm.name!r} has neither table nor sql")
+    if tm.select and tm.select.strip() != "*":
+        df = df.selectExpr(*_split_select(tm.select))
+    return df
+
+
+# --------------------------------------------------------------------------
+# triples-map compilation
+
+
+def _pattern_df(
+    df: DataFrame,
+    s: TermExprs,
+    p: TermExprs,
+    o: TermExprs,
+    g: TermExprs | None,
+) -> DataFrame:
+    guards = s.guards + p.guards + o.guards + (g.guards if g else [])
+    for guard in guards:
+        df = df.where(guard)
+    return df.select(
+        s.kind.alias("s_kind"),
+        s.value.alias("s_value"),
+        p.value.alias("p_value"),
+        o.kind.alias("o_kind"),
+        o.value.alias("o_value"),
+        o.datatype.alias("o_datatype"),
+        o.lang.alias("o_lang"),
+        (g.value if g else _NULL).alias("g_value"),
+    )
+
+
+def compile_triples_map(
+    spark: SparkSession,
+    mapping: Mapping,
+    tm: TriplesMap,
+    tables: dict[str, DataFrame] | None = None,
+    broadcast_parents: set[str] | None = None,
+    persist_sources: bool = False,
+) -> list[DataFrame]:
+    """Compile one triples map into a list of 8-column pattern DataFrames."""
+    if tm.subject is None:
+        raise CompileError(f"triples map {tm.name!r} has no subject map")
+    df = resolve_source(spark, tm, tables)
+    if persist_sources:
+        df = df.persist()
+    schema = df.schema
+    subj = compile_term(tm.subject, schema)
+    out: list[DataFrame] = []
+
+    # rr:class triples (O29): s rdf:type <class>, into subject-level graphs
+    for cls in tm.classes:
+        p = compile_term(TermMap.iri_constant(RDF_TYPE), schema)
+        o = compile_term(TermMap.iri_constant(mapping.expand_curie(cls)), schema)
+        for g in _graph_terms(tm, None):
+            gx = compile_term(g, schema) if g else None
+            out.append(_pattern_df(df, subj, p, o, gx))
+
+    for pom in tm.poms:
+        graph_terms = _graph_terms(tm, pom)
+        for pred in pom.predicates:
+            p = compile_term(pred, schema)
+            for obj in pom.objects:
+                if isinstance(obj, RefObject):
+                    out.extend(
+                        _ref_object_patterns(
+                            spark, mapping, tm, df, subj, p, obj, graph_terms, tables, broadcast_parents
+                        )
+                    )
+                else:
+                    o = compile_term(obj, schema)
+                    for g in graph_terms:
+                        gx = compile_term(g, schema) if g else None
+                        out.append(_pattern_df(df, subj, p, o, gx))
+    return out
+
+
+def _ref_object_patterns(
+    spark: SparkSession,
+    mapping: Mapping,
+    child_tm: TriplesMap,
+    child_df: DataFrame,
+    subj: TermExprs,
+    p: TermExprs,
+    ref: RefObject,
+    graph_terms: list[TermMap | None],
+    tables: dict[str, DataFrame] | None,
+    broadcast_parents: set[str] | None,
+) -> list[DataFrame]:
+    """R2RML §8 referencing-object maps (SURVEY.md O13/O14).
+
+    With join conditions: null-rejecting equi-join child x parent, the object
+    is the parent's subject term built over the *parent* row.
+
+    Without join conditions on the same logical table: the degenerate
+    self-join is elided — the parent subject is built from the same child row
+    (O14; a free win Catalyst can't see because we never create the join).
+    """
+    parent_tm = mapping.triples_maps.get(ref.parent)
+    if parent_tm is None or parent_tm.subject is None:
+        raise CompileError(f"ref-object parent {ref.parent!r} missing or subject-less")
+
+    same_table = (
+        not ref.join
+        and parent_tm.sql == child_tm.sql
+        and parent_tm.table == child_tm.table
+    )
+    out: list[DataFrame] = []
+    if same_table:
+        o = compile_term(parent_tm.subject, child_df.schema)
+        for g in graph_terms:
+            gx = compile_term(g, child_df.schema) if g else None
+            out.append(_pattern_df(child_df, subj, p, o, gx))
+        return out
+
+    if not ref.join:
+        raise CompileError(
+            f"ref-object {child_tm.name!r}->{ref.parent!r}: different logical "
+            "tables require rr:joinCondition (R2RML §8)"
+        )
+
+    parent_df = resolve_source(spark, parent_tm, tables)
+    # prefix parent columns to avoid ambiguity in the joined relation
+    pcols = parent_df.columns
+    parent_aliased = parent_df.select([F.col(c).alias(f"__p_{c}") for c in pcols])
+    if broadcast_parents and ref.parent in broadcast_parents:
+        parent_aliased = F.broadcast(parent_aliased)
+    cond = None
+    for child_col, parent_col in ref.join:
+        c = F.col(child_col) == F.col(f"__p_{parent_col}")
+        cond = c if cond is None else (cond & c)
+    joined = child_df.join(parent_aliased, cond, "inner")
+    colmap = {c: f"__p_{c}" for c in pcols}
+    o = compile_term(parent_tm.subject, joined.schema, colmap=colmap)
+    for g in graph_terms:
+        gx = compile_term(g, joined.schema) if g else None
+        out.append(_pattern_df(joined, subj, p, o, gx))
+    return out
+
+
+def compile_mapping(
+    spark: SparkSession,
+    mapping: Mapping,
+    tables: dict[str, DataFrame] | None = None,
+    dedup: bool = True,
+    broadcast_parents: set[str] | None = None,
+    persist_sources: bool = False,
+) -> DataFrame:
+    """Compile a whole mapping document into one triples DataFrame.
+
+    The union of all patterns is the de-facto UNION ALL of the engine
+    (SURVEY.md O19); ``dedup=True`` applies RDF set semantics
+    (``dropDuplicates`` over the 8 term columns — the shuffle-based,
+    spillable replacement for RDF::Trine::Model's O(N)-memory set insert,
+    SURVEY.md §5 'Dedup').
+    """
+    patterns: list[DataFrame] = []
+    for tm in mapping.triples_maps.values():
+        patterns.extend(
+            compile_triples_map(
+                spark,
+                mapping,
+                tm,
+                tables=tables,
+                broadcast_parents=broadcast_parents,
+                persist_sources=persist_sources,
+            )
+        )
+    if not patterns:
+        return spark.createDataFrame([], schema="s_kind string, s_value string, p_value string, o_kind string, o_value string, o_datatype string, o_lang string, g_value string")
+    df = patterns[0]
+    for p in patterns[1:]:
+        df = df.unionByName(p)
+    if dedup:
+        df = df.dropDuplicates(TRIPLE_COLUMNS)
+    return df
