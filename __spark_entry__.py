@@ -170,6 +170,164 @@ def dm_predicate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- O13: R2RML referencing-object join (rr:joinCondition) -----------------
+_R2RML_ORDERS = """
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix ex: <http://example.org/tpch#> .
+<#Orders>
+  rr:logicalTable [ rr:tableName "orders" ] ;
+  rr:subjectMap [ rr:template "http://example.org/order/{o_orderkey}" ;
+                  rr:class ex:Order ] ;
+  rr:predicateObjectMap [
+    rr:predicate ex:status ;
+    rr:objectMap [ rr:column "o_orderstatus" ] ] ;
+  rr:predicateObjectMap [
+    rr:predicate ex:customer ;
+    rr:objectMap [ rr:parentTriplesMap <#Customer> ;
+                   rr:joinCondition [ rr:child "o_custkey" ; rr:parent "c_custkey" ] ] ] .
+<#Customer>
+  rr:logicalTable [ rr:tableName "customer" ] ;
+  rr:subjectMap [ rr:template "http://example.org/customer/{c_custkey}" ;
+                  rr:class ex:Customer ] ;
+  rr:predicateObjectMap [
+    rr:predicate ex:segment ;
+    rr:objectMap [ rr:column "c_mktsegment" ] ] .
+"""
+
+
+@_q(
+    "r2rml_orders_customer_join",
+    """
+    WITH t AS (
+      SELECT 'http://example.org/order/' || CAST(o_orderkey AS VARCHAR) AS s,
+             'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+             'http://example.org/tpch#Order' AS o
+      FROM orders
+      UNION ALL
+      SELECT 'http://example.org/order/' || CAST(o_orderkey AS VARCHAR),
+             'http://example.org/tpch#status', o_orderstatus
+      FROM orders WHERE o_orderstatus IS NOT NULL
+      UNION ALL
+      SELECT 'http://example.org/order/' || CAST(o_orderkey AS VARCHAR),
+             'http://example.org/tpch#customer',
+             'http://example.org/customer/' || CAST(c.c_custkey AS VARCHAR)
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      UNION ALL
+      SELECT 'http://example.org/customer/' || CAST(c_custkey AS VARCHAR),
+             'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+             'http://example.org/tpch#Customer'
+      FROM customer
+      UNION ALL
+      SELECT 'http://example.org/customer/' || CAST(c_custkey AS VARCHAR),
+             'http://example.org/tpch#segment', c_mktsegment
+      FROM customer WHERE c_mktsegment IS NOT NULL
+    )
+    SELECT DISTINCT s AS s_value, p AS p_value, o AS o_value FROM t
+    """,
+)
+def r2rml_orders_customer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p5_rdf_rdb2rdf_spark.compiler import compile_mapping
+    from p5_rdf_rdb2rdf_spark.r2rml import r2rml_to_ir
+
+    tables = _load(spark, sf_dir, ["orders", "customer"])
+    ir = r2rml_to_ir(_R2RML_ORDERS)
+    t = compile_mapping(spark, ir, tables=tables, broadcast_parents={"#Customer"})
+    return t.select("s_value", "p_value", "o_value").distinct()
+
+
+# --- Simple front end over supplier (property + rel + typeof) --------------
+@_q(
+    "simple_supplier_mapping",
+    """
+    WITH t AS (
+      SELECT 'http://example.org/supplier/' || CAST(s_suppkey AS VARCHAR) AS s,
+             'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+             'http://example.org/tpch#Supplier' AS o
+      FROM supplier
+      UNION ALL
+      SELECT 'http://example.org/supplier/' || CAST(s_suppkey AS VARCHAR),
+             'http://xmlns.com/foaf/0.1/name', s_name
+      FROM supplier WHERE s_name IS NOT NULL
+      UNION ALL
+      SELECT 'http://example.org/supplier/' || CAST(s_suppkey AS VARCHAR),
+             'http://example.org/tpch#nation',
+             'http://example.org/nation/' || CAST(s_nationkey AS VARCHAR)
+      FROM supplier WHERE s_nationkey IS NOT NULL
+    )
+    SELECT DISTINCT s AS s_value, p AS p_value, o AS o_value FROM t
+    """,
+)
+def simple_supplier_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p5_rdf_rdb2rdf_spark.compiler import compile_mapping
+    from p5_rdf_rdb2rdf_spark.simple import simple_to_ir
+
+    tables = _load(spark, sf_dir, ["supplier"])
+    doc = {
+        "namespaces": {"ex": "http://example.org/tpch#", "foaf": "http://xmlns.com/foaf/0.1/"},
+        "mappings": {
+            "supplier": {
+                "from": "supplier",
+                "about": "supplier/{s_suppkey}",
+                "typeof": ["ex:Supplier"],
+                "columns": {
+                    "s_name": [{"property": "foaf:name"}],
+                    "s_nationkey": [{"rel": "ex:nation", "resource": "nation/{s_nationkey}"}],
+                },
+            }
+        },
+    }
+    ir = simple_to_ir(doc, base="http://example.org/")
+    t = compile_mapping(spark, ir, tables=tables)
+    return t.select("s_value", "p_value", "o_value").distinct()
+
+
+# --- O2/O17: rr:sqlQuery view with aggregation -----------------------------
+_R2RML_VIEW = """
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix ex: <http://example.org/tpch#> .
+<#LineStats>
+  rr:logicalTable [ rr:sqlQuery \"\"\"
+     SELECT l_returnflag, l_linestatus, COUNT(*) AS n_lines,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS sum_qty
+     FROM lineitem GROUP BY l_returnflag, l_linestatus
+  \"\"\" ] ;
+  rr:subjectMap [ rr:template "http://example.org/linestats/{l_returnflag}/{l_linestatus}" ] ;
+  rr:predicateObjectMap [ rr:predicate ex:nLines ;
+                          rr:objectMap [ rr:column "n_lines" ] ] ;
+  rr:predicateObjectMap [ rr:predicate ex:sumQty ;
+                          rr:objectMap [ rr:column "sum_qty" ] ] .
+"""
+
+
+@_q(
+    "r2rml_sql_view_agg",
+    """
+    WITH v AS (
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n_lines,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ), t AS (
+      SELECT 'http://example.org/linestats/' || l_returnflag || '/' || l_linestatus AS s,
+             'http://example.org/tpch#nLines' AS p, CAST(n_lines AS VARCHAR) AS o
+      FROM v
+      UNION ALL
+      SELECT 'http://example.org/linestats/' || l_returnflag || '/' || l_linestatus,
+             'http://example.org/tpch#sumQty', CAST(sum_qty AS VARCHAR)
+      FROM v
+    )
+    SELECT s AS s_value, p AS p_value, o AS o_value FROM t
+    """,
+)
+def r2rml_sql_view_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p5_rdf_rdb2rdf_spark.compiler import compile_mapping
+    from p5_rdf_rdb2rdf_spark.r2rml import r2rml_to_ir
+
+    _load(spark, sf_dir, ["lineitem"])  # registers temp view for rr:sqlQuery
+    ir = r2rml_to_ir(_R2RML_VIEW)
+    t = compile_mapping(spark, ir)
+    return t.select("s_value", "p_value", "o_value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -44,7 +44,8 @@ from .terms import (
     natural_datatype,
 )
 
-_NULL = F.lit(None).cast("string")
+def _null() -> Column:
+    return F.lit(None).cast("string")
 
 
 class CompileError(ValueError):
@@ -93,43 +94,45 @@ def compile_term(tm: TermMap, schema: T.StructType, colmap: dict[str, str] | Non
     substituted into a **template** whose term type is IRI — never to
     rr:column-based IRIs, literals, or blank labels.
     """
+    extra_guards = [F.col(_resolve(c, colmap)).isNotNull() for c in tm.guard_columns]
+
     if tm.kind == "constant":
         kind = F.lit(tm.constant_kind or tm.term_type)
         return TermExprs(
             kind,
             F.lit(tm.constant_value),
-            F.lit(tm.datatype) if tm.datatype else _NULL,
-            F.lit(tm.language) if tm.language else _NULL,
-            [],
+            F.lit(tm.datatype) if tm.datatype else _null(),
+            F.lit(tm.language) if tm.language else _null(),
+            extra_guards,
         )
 
     if tm.kind == "column":
         src = _resolve(tm.column, colmap)
         dtype = _field_type(schema, src)
         col = F.col(src)
-        guards = [col.isNotNull()]
+        guards = [col.isNotNull()] + extra_guards
         if tm.term_type == KIND_LITERAL:
             lex = lexical_form(col, dtype)
             if tm.language:
-                return TermExprs(F.lit(KIND_LITERAL), lex, _NULL, F.lit(tm.language), guards)
+                return TermExprs(F.lit(KIND_LITERAL), lex, _null(), F.lit(tm.language), guards)
             dt = tm.datatype or natural_datatype(dtype)
-            return TermExprs(F.lit(KIND_LITERAL), lex, F.lit(dt) if dt else _NULL, _NULL, guards)
+            return TermExprs(F.lit(KIND_LITERAL), lex, F.lit(dt) if dt else _null(), _null(), guards)
         # termType IRI/BlankNode from a column: value used verbatim (no encoding)
-        return TermExprs(F.lit(tm.term_type), col.cast("string"), _NULL, _NULL, guards)
+        return TermExprs(F.lit(tm.term_type), col.cast("string"), _null(), _null(), guards)
 
     if tm.kind == "expr":
-        guards = [F.col(_resolve(c, colmap)).isNotNull() for c in tm.guard_columns]
+        guards = extra_guards
         value = F.expr(tm.expr)
         if tm.term_type == KIND_LITERAL:
-            dt = F.lit(tm.datatype) if tm.datatype else _NULL
-            lang = F.lit(tm.language) if tm.language else _NULL
+            dt = F.lit(tm.datatype) if tm.datatype else _null()
+            lang = F.lit(tm.language) if tm.language else _null()
             return TermExprs(F.lit(KIND_LITERAL), value.cast("string"), dt, lang, guards)
-        return TermExprs(F.lit(tm.term_type), value.cast("string"), _NULL, _NULL, guards)
+        return TermExprs(F.lit(tm.term_type), value.cast("string"), _null(), _null(), guards)
 
     if tm.kind == "template":
         parts = parse_template(tm.template)
         exprs: list[Column] = []
-        guards: list[Column] = []
+        guards: list[Column] = list(extra_guards)
         encode = tm.term_type == KIND_IRI
         for is_col, seg in parts:
             if not is_col:
@@ -145,10 +148,10 @@ def compile_term(tm: TermMap, schema: T.StructType, colmap: dict[str, str] | Non
             exprs.append(lex)
         value = F.concat(*exprs) if len(exprs) > 1 else exprs[0]
         if tm.term_type == KIND_LITERAL:
-            dt = F.lit(tm.datatype) if tm.datatype else _NULL
-            lang = F.lit(tm.language) if tm.language else _NULL
+            dt = F.lit(tm.datatype) if tm.datatype else _null()
+            lang = F.lit(tm.language) if tm.language else _null()
             return TermExprs(F.lit(KIND_LITERAL), value, dt, lang, guards)
-        return TermExprs(F.lit(tm.term_type), value, _NULL, _NULL, guards)
+        return TermExprs(F.lit(tm.term_type), value, _null(), _null(), guards)
 
     raise CompileError(f"unknown term map kind {tm.kind!r}")
 
@@ -247,7 +250,7 @@ def _pattern_df(
         o.value.alias("o_value"),
         o.datatype.alias("o_datatype"),
         o.lang.alias("o_lang"),
-        (g.value if g else _NULL).alias("g_value"),
+        (g.value if g else _null()).alias("g_value"),
     )
 
 
