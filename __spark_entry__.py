@@ -328,6 +328,91 @@ def r2rml_sql_view_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select("s_value", "p_value", "o_value")
 
 
+# --- interleaved-docs pipeline ops (north_star) ------------------------------
+
+_MENTION_VOCAB = ["spark", "customer", "vector", "window", "merge", "filter"]
+
+
+@_q(
+    "kg_spans_flat",
+    """
+    WITH spans AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'text' AS kind, text,
+             CAST(NULL AS VARCHAR) AS media_ref, 0 AS "offset"
+      FROM documents
+      UNION ALL
+      SELECT CAST(doc_id AS VARCHAR), 'image', NULL,
+             'media://image/' || CAST(doc_id AS VARCHAR) || '/1', 1
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT CAST(doc_id AS VARCHAR), 'audio', NULL,
+             'media://audio/' || CAST(doc_id AS VARCHAR) || '/2', 2
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT doc_id, kind, media_ref, "offset" FROM spans
+    """,
+)
+def kg_spans_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved-shape derivation + span explode (input_hint schema)."""
+    from p5_rdf_rdb2rdf_spark.pipeline.corpus import spans_from_documents
+    from p5_rdf_rdb2rdf_spark.pipeline.spans import explode_spans
+
+    docs = _load(spark, sf_dir, ["documents"])["documents"]
+    return explode_spans(spans_from_documents(docs)).select(
+        "doc_id", "kind", "media_ref", "offset"
+    )
+
+
+@_q(
+    "kg_doc_mentions",
+    """
+    WITH v(surface) AS (
+      VALUES ('spark'), ('customer'), ('vector'), ('window'), ('merge'), ('filter')
+    )
+    SELECT 'http://example.org/doc/' || CAST(d.doc_id AS VARCHAR) AS s_value,
+           'http://example.org/kg/mentions' AS p_value,
+           'http://example.org/kg/' || v.surface AS o_value
+    FROM documents d JOIN v
+      ON contains(' ' || d.text || ' ', ' ' || v.surface || ' ')
+    """,
+)
+def kg_doc_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-vocab mention detection through the vectorized pandas-UDF path
+    (input_hint: no per-row Python) -> provenance triples."""
+    from p5_rdf_rdb2rdf_spark.pipeline.corpus import spans_from_documents
+    from p5_rdf_rdb2rdf_spark.pipeline.mentions import detect_mentions
+    from p5_rdf_rdb2rdf_spark.pipeline.spans import explode_spans
+
+    docs = _load(spark, sf_dir, ["documents"])["documents"]
+    spans = explode_spans(spans_from_documents(docs))
+    m = detect_mentions(spans.where("kind = 'text'"), _MENTION_VOCAB)
+    return m.select(
+        F.concat(F.lit("http://example.org/doc/"), F.col("doc_id")).alias("s_value"),
+        F.lit("http://example.org/kg/mentions").alias("p_value"),
+        F.concat(F.lit("http://example.org/kg/"), F.col("surface")).alias("o_value"),
+    )
+
+
+@_q("kg_pipeline_synth")  # no SQL oracle: full staged pipeline w/ pandas UDFs + CC
+def kg_pipeline_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full KG pipeline (spans -> relations -> linking -> CC -> materialize)
+    on the deterministic synthetic interleaved corpus; correctness is
+    enforced exactly in tests/test_pipeline.py (P/R = 1.0 vs closed form)."""
+    import tempfile
+
+    from p5_rdf_rdb2rdf_spark.pipeline.corpus import synth_corpus
+    from p5_rdf_rdb2rdf_spark.pipeline.kgpipeline import run_pipeline
+
+    docs = synth_corpus(spark, 300, partitions=8)
+    with tempfile.TemporaryDirectory() as wd:
+        result = run_pipeline(spark, docs, wd, n_buckets=4)
+        out = result.triples.groupBy("p_value").agg(
+            F.count(F.lit(1)).alias("n_triples")
+        ).orderBy("p_value")
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach from tmpdir
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -1,0 +1,104 @@
+"""Per-stage checkpoints with lineage + resume (BASELINE.json north_rule:
+"resumable from checkpoint with per-partition lineage + metrics").
+
+Each pipeline stage writes its output DataFrame as a checkpoint table plus a
+``_lineage`` entry: stage name, input snapshot ids, per-partition row counts,
+row total, wall time, and the mapping-IR JSON in force (SURVEY.md §3.6).
+``run_stage`` skips stages whose checkpoint is already complete, so a killed
+run resumes from the last complete stage with byte-identical results
+(deterministic transforms by construction — no rand(), no wall-clock values
+inside data).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINEAGE = "_lineage.json"
+
+
+class StageCheckpointer:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- lineage manifest ----------------------------------------------------
+    def _lineage_path(self) -> str:
+        return os.path.join(self.root, LINEAGE)
+
+    def lineage(self) -> dict:
+        try:
+            with open(self._lineage_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"stages": {}}
+
+    def _save_lineage(self, lin: dict) -> None:
+        tmp = self._lineage_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(lin, f, indent=1)
+        os.replace(tmp, self._lineage_path())
+
+    # -- stages ----------------------------------------------------------------
+    def stage_dir(self, stage: str) -> str:
+        return os.path.join(self.root, f"stage-{stage}")
+
+    def is_complete(self, stage: str) -> bool:
+        return stage in self.lineage()["stages"]
+
+    def read(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(self.stage_dir(stage))
+
+    def run_stage(
+        self,
+        stage: str,
+        fn: Callable[[], DataFrame],
+        inputs: list[str] | None = None,
+        meta: dict | None = None,
+        force: bool = False,
+    ) -> DataFrame:
+        """Run (or resume) one stage. ``fn`` builds the stage's DataFrame;
+        it only executes when the checkpoint is missing/incomplete."""
+        if self.is_complete(stage) and not force:
+            return self.read(stage)
+        t0 = time.time()
+        out_dir = self.stage_dir(stage)
+        df = fn()
+        df.write.mode("overwrite").parquet(out_dir)
+        back = self.spark.read.parquet(out_dir)
+        per_part = [
+            {"partition": i, "rows": n}
+            for i, n in enumerate(
+                back.rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()
+            )
+        ]
+        lin = self.lineage()
+        lin["stages"][stage] = {
+            "dir": out_dir,
+            "inputs": inputs or [],
+            "rows": int(sum(p["rows"] for p in per_part)),
+            "partitions": per_part,
+            "wall_sec": round(time.time() - t0, 3),
+            "completed_at": time.time(),
+            "meta": meta or {},
+        }
+        self._save_lineage(lin)
+        return back
+
+    def reset_from(self, stage: str) -> None:
+        """Invalidate a stage and everything recorded after it."""
+        lin = self.lineage()
+        if stage not in lin["stages"]:
+            return
+        cutoff = lin["stages"][stage]["completed_at"]
+        lin["stages"] = {
+            k: v for k, v in lin["stages"].items() if v["completed_at"] < cutoff
+        }
+        self._save_lineage(lin)

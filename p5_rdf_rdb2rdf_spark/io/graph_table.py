@@ -1,0 +1,173 @@
+"""Graph-table storage (SURVEY.md §8.3 'GraphTableIO').
+
+Final triples land in a table **partitioned by predicate bucket**
+(``pred_bucket = pmod(xxhash64(p_value), n_buckets)``) so bound-predicate
+pattern queries (the Store's hottest shape, SURVEY.md §4.3) prune partitions,
+and the dedup shuffle is already aligned with the dominant access path.
+
+Backends:
+- **iceberg**: when the session has an Iceberg catalog configured
+  (``spark.sql.catalog.<name>``), writes an Iceberg table via
+  ``writeTo(...).partitionedBy(bucket(...))`` — snapshots/lineage come from
+  Iceberg itself. This is the 100 TB production path.
+- **parquet** (sandbox fallback): partitioned directories plus a versioned
+  **snapshot manifest** (JSON: snapshot id -> file list, per-partition row
+  counts, parent snapshot) supplying the same checkpoint/resume semantics.
+
+At 10^12-document scale the bucket count is the partition-sizing knob: with
+K buckets and T triples, each bucket holds T/K triples; choose K so a bucket
+fits executor memory for the dedup agg (the writer also range-splits files
+inside a bucket via maxRecordsPerFile).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..terms import TRIPLE_COLUMNS
+
+MANIFEST = "_snapshots.json"
+
+
+def _has_iceberg(spark: SparkSession, catalog: str | None) -> bool:
+    if not catalog:
+        return False
+    try:
+        return spark.conf.get(f"spark.sql.catalog.{catalog}", None) is not None
+    except Exception:
+        return False
+
+
+class GraphTable:
+    """A partitioned (s,p,o) graph table with snapshot/lineage semantics."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        n_buckets: int = 32,
+        iceberg_catalog: str | None = None,
+        iceberg_table: str | None = None,
+    ):
+        self.spark = spark
+        self.path = path
+        self.n_buckets = n_buckets
+        self.iceberg = _has_iceberg(spark, iceberg_catalog)
+        self.iceberg_ref = f"{iceberg_catalog}.{iceberg_table}" if self.iceberg else None
+
+    # -- write ---------------------------------------------------------------
+    def write(self, triples: DataFrame, mode: str = "overwrite", lineage: dict | None = None) -> str:
+        """Write triples; returns the new snapshot id.
+
+        Adds the ``pred_bucket`` partition column; dedup is the caller's
+        choice (compile_mapping already applies RDF set semantics).
+        """
+        df = triples.withColumn(
+            "pred_bucket", F.pmod(F.xxhash64(F.col("p_value")), F.lit(self.n_buckets)).cast("int")
+        )
+        if self.iceberg:  # pragma: no cover - no Iceberg jar in sandbox
+            writer = df.writeTo(self.iceberg_ref).using("iceberg")
+            if mode == "overwrite":
+                writer.createOrReplace()
+            else:
+                writer.append()
+            return str(self.spark.sql(
+                f"SELECT snapshot_id FROM {self.iceberg_ref}.snapshots ORDER BY committed_at DESC LIMIT 1"
+            ).head()[0])
+
+        snapshot_id = uuid.uuid4().hex[:16]
+        data_dir = os.path.join(self.path, f"snap-{snapshot_id}")
+        (
+            df.repartition(self.n_buckets, "pred_bucket")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", 5_000_000)
+            .partitionBy("pred_bucket")
+            .parquet(data_dir)
+        )
+        counts = {
+            str(r.pred_bucket): r.cnt
+            for r in self.spark.read.parquet(data_dir)
+            .groupBy("pred_bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        manifest = self._read_manifest()
+        manifest["snapshots"].append(
+            {
+                "id": snapshot_id,
+                "dir": data_dir,
+                "created_at": time.time(),
+                "parent": manifest.get("current"),
+                "partition_rows": counts,
+                "total_rows": sum(counts.values()),
+                "lineage": lineage or {},
+            }
+        )
+        manifest["current"] = snapshot_id
+        self._write_manifest(manifest)
+        return snapshot_id
+
+    # -- read ----------------------------------------------------------------
+    def read(self, snapshot_id: str | None = None) -> DataFrame:
+        if self.iceberg:  # pragma: no cover
+            return self.spark.table(self.iceberg_ref).drop("pred_bucket")
+        snap = self._snapshot(snapshot_id)
+        return self.spark.read.parquet(snap["dir"]).drop("pred_bucket")
+
+    def read_predicate(self, predicate: str, snapshot_id: str | None = None) -> DataFrame:
+        """Bound-predicate read — prunes to one bucket before filtering."""
+        if self.iceberg:  # pragma: no cover
+            df = self.spark.table(self.iceberg_ref)
+        else:
+            df = self.spark.read.parquet(self._snapshot(snapshot_id)["dir"])
+        # pred_bucket is a partition column: this comparison prunes directories
+        bucket = None
+        row = self.spark.range(1).select(
+            F.pmod(F.xxhash64(F.lit(predicate)), F.lit(self.n_buckets)).cast("int").alias("b")
+        ).head()
+        bucket = row.b
+        return (
+            df.where(F.col("pred_bucket") == bucket)
+            .where(F.col("p_value") == predicate)
+            .drop("pred_bucket")
+        )
+
+    # -- snapshots -------------------------------------------------------------
+    def snapshots(self) -> list[dict]:
+        return self._read_manifest()["snapshots"]
+
+    def current_snapshot(self) -> dict | None:
+        m = self._read_manifest()
+        cur = m.get("current")
+        return next((s for s in m["snapshots"] if s["id"] == cur), None)
+
+    def _snapshot(self, snapshot_id: str | None) -> dict:
+        m = self._read_manifest()
+        sid = snapshot_id or m.get("current")
+        for s in m["snapshots"]:
+            if s["id"] == sid:
+                return s
+        raise FileNotFoundError(f"snapshot {sid!r} not found under {self.path}")
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, MANIFEST)
+
+    def _read_manifest(self) -> dict:
+        try:
+            with open(self._manifest_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"snapshots": [], "current": None}
+
+    def _write_manifest(self, manifest: dict) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self._manifest_path())

@@ -1,0 +1,144 @@
+"""Staged KG-construction pipeline over interleaved documents
+(BASELINE.json north_star, end-to-end):
+
+    docs -> S1 span explode (+O40 invariant audit)
+         -> S2 relation/mention extraction (vectorized pandas UDFs)
+         -> S3 entity linking (broadcast dictionary, scored)
+         -> S4 connected-components canonicalization (iterative, checkpointed)
+         -> S5 triple construction (canonical entity IRIs + provenance)
+         -> S6 distinct-triple materialization into the partitioned graph
+               table (GraphTable, predicate-bucketed)
+
+Every stage checkpoints through :class:`..io.checkpoint.StageCheckpointer`
+(per-partition lineage + row counts; resume = skip complete stages).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.checkpoint import StageCheckpointer
+from ..io.graph_table import GraphTable
+from ..terms import KIND_IRI
+from .cc import canonical_mapping, connected_components
+from .corpus import KG, TEMPLATES, entity_vocab
+from .linking import candidate_edges, entity_dictionary, link_mentions
+from .mentions import extract_relations
+from .spans import explode_spans, span_invariant_violations
+
+DOC_NS = "http://example.org/doc/"
+MENTIONS_PRED = KG + "mentions"
+
+
+def template_patterns() -> list[tuple[str, str]]:
+    """Corpus templates -> anchored extraction regexes (named groups a, b)."""
+    out = []
+    for tpl, pred in TEMPLATES:
+        mid = tpl.replace("{a}", "").split("{b}")[0]
+        tail = tpl.split("{b}")[1]
+        out.append((rf"^(?P<a>\S+){mid}(?P<b>\S+){tail}$".replace(" .", r" \."), pred))
+    return out
+
+
+@dataclass
+class PipelineResult:
+    triples: DataFrame
+    snapshot_id: str
+    lineage: dict
+
+
+def run_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    workdir: str,
+    n_buckets: int = 32,
+    audit_invariant: bool = True,
+) -> PipelineResult:
+    ckpt = StageCheckpointer(spark, workdir)
+    vocab = entity_vocab()
+    dictionary = entity_dictionary(spark, vocab)
+
+    spans = ckpt.run_stage("s1_spans", lambda: explode_spans(docs), inputs=["docs"])
+    if audit_invariant:
+        from .spans import reassemble_docs
+
+        violations = span_invariant_violations(docs, reassemble_docs(spans)).count()
+        if violations:
+            raise AssertionError(f"span-sequence invariant broken for {violations} docs")
+
+    relations = ckpt.run_stage(
+        "s2_relations",
+        lambda: extract_relations(spans, template_patterns()),
+        inputs=["s1_spans"],
+    )
+
+    def _links() -> DataFrame:
+        subj_m = relations.select(F.col("subj_surface").alias("surface"))
+        obj_m = relations.select(F.col("obj_surface").alias("surface"))
+        mentions = subj_m.unionByName(obj_m).distinct()
+        return link_mentions(mentions, dictionary).select(
+            "surface", "entity_id", "canonical", "score"
+        )
+
+    links = ckpt.run_stage("s3_links", _links, inputs=["s2_relations"])
+
+    def _canon() -> DataFrame:
+        comps = connected_components(candidate_edges(links.withColumnRenamed("surface", "surface")))
+        mapping = canonical_mapping(comps)
+        return (
+            mapping.where(F.col("node").startswith("s:"))
+            .select(
+                F.expr("substring(node, 3)").alias("surface"),
+                F.col("canonical_entity").alias("entity_id"),
+            )
+        )
+
+    canon = ckpt.run_stage("s4_canon", _canon, inputs=["s3_links"])
+
+    def _triples() -> DataFrame:
+        c = F.broadcast(canon)
+        subj = c.withColumnRenamed("surface", "subj_surface").withColumnRenamed(
+            "entity_id", "subj_entity"
+        )
+        obj = c.withColumnRenamed("surface", "obj_surface").withColumnRenamed(
+            "entity_id", "obj_entity"
+        )
+        rel = relations.join(subj, "subj_surface", "inner").join(obj, "obj_surface", "inner")
+        fact = rel.select(
+            F.lit(KIND_IRI).alias("s_kind"),
+            F.concat(F.lit(KG), F.col("subj_entity")).alias("s_value"),
+            F.col("pred").alias("p_value"),
+            F.lit(KIND_IRI).alias("o_kind"),
+            F.concat(F.lit(KG), F.col("obj_entity")).alias("o_value"),
+            F.lit(None).cast("string").alias("o_datatype"),
+            F.lit(None).cast("string").alias("o_lang"),
+            F.lit(None).cast("string").alias("g_value"),
+        )
+        prov = rel.select(
+            F.lit(KIND_IRI).alias("s_kind"),
+            F.concat(F.lit(DOC_NS), F.col("doc_id")).alias("s_value"),
+            F.lit(MENTIONS_PRED).alias("p_value"),
+            F.lit(KIND_IRI).alias("o_kind"),
+            F.concat(F.lit(KG), F.col("subj_entity")).alias("o_value"),
+            F.lit(None).cast("string").alias("o_datatype"),
+            F.lit(None).cast("string").alias("o_lang"),
+            F.lit(None).cast("string").alias("g_value"),
+        )
+        return fact.unionByName(prov)
+
+    triples = ckpt.run_stage("s5_triples", _triples, inputs=["s2_relations", "s4_canon"])
+
+    table = GraphTable(spark, f"{workdir}/graph", n_buckets=n_buckets)
+    deduped = triples.dropDuplicates(
+        ["s_kind", "s_value", "p_value", "o_kind", "o_value", "o_datatype", "o_lang", "g_value"]
+    )
+    snapshot_id = table.write(
+        deduped,
+        lineage={"stages": list(ckpt.lineage()["stages"])},
+    )
+    return PipelineResult(
+        triples=table.read(snapshot_id), snapshot_id=snapshot_id, lineage=ckpt.lineage()
+    )

@@ -1,0 +1,62 @@
+"""Store pattern queries (SURVEY.md O12, §4.3) — lazy pushdown parity with
+DirectMapping::Store::get_statements."""
+
+from __future__ import annotations
+
+from p5_rdf_rdb2rdf_spark.direct_mapping import direct_map
+from p5_rdf_rdb2rdf_spark.fixtures import CONSTRAINTS
+from p5_rdf_rdb2rdf_spark.store import DirectMappingStore, TripleStore
+from p5_rdf_rdb2rdf_spark.terms import RDF_TYPE
+
+BASE = "http://example.com/base/"
+
+
+def _full_graph(spark, tables):
+    return direct_map(spark, tables, CONSTRAINTS, base=BASE)
+
+
+def test_triple_store_patterns(spark, tables):
+    store = TripleStore(_full_graph(spark, tables))
+    s = f"{BASE}books/book_id=1"
+    assert store.count_pattern(s=s) > 0
+    assert store.count_pattern(s=s, p=f"{BASE}books#title") == 1
+    assert store.count_pattern(p=RDF_TYPE, o=f"{BASE}books") == 4
+    assert store.count_pattern(s="http://nope/") == 0
+
+
+def test_dm_store_matches_materialized(spark, tables):
+    """The lazy store must answer every pattern identically to filtering the
+    fully-materialized graph (the reference's Store contract)."""
+    sub = {t: tables[t] for t in ["books", "authors", "emp", "dept"]}
+    full = TripleStore(_full_graph(spark, sub))
+    lazy = DirectMappingStore(spark, sub, CONSTRAINTS, base=BASE)
+
+    patterns = [
+        {"s": f"{BASE}books/book_id=2"},
+        {"p": f"{BASE}books#title"},
+        {"p": f"{BASE}emp#ref-deptno"},
+        {"p": RDF_TYPE},
+        {"s": f"{BASE}emp/empno=7369", "p": f"{BASE}emp#ename"},
+        {"p": f"{BASE}books#in_print", "o": "true"},
+        {"s": f"{BASE}authors/author_id=10", "o": "David"},
+    ]
+    for pat in patterns:
+        want = sorted(map(tuple, full.get_statements(**pat).collect()))
+        got = sorted(map(tuple, lazy.get_statements(**pat).collect()))
+        assert got == want, pat
+
+
+def test_dm_store_unknown_iris_empty(spark, tables):
+    lazy = DirectMappingStore(spark, {"books": tables["books"]}, CONSTRAINTS, base=BASE)
+    assert lazy.get_statements(s="http://other/base/books/book_id=1").count() == 0
+    assert lazy.get_statements(p=f"{BASE}books#no_such_col").count() == 0
+
+
+def test_dm_store_bound_subject_prunes(spark, tables):
+    """Bound subject must push pk = v into the source scan (the analog of
+    the reference's targeted WHERE pk=?)."""
+    lazy = DirectMappingStore(spark, {"books": tables["books"]}, CONSTRAINTS, base=BASE)
+    df = lazy.get_statements(s=f"{BASE}books/book_id=1")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "book_id" in plan and ("= 1" in plan or "cast" in plan.lower())
+    assert df.count() > 0
