@@ -55,6 +55,15 @@ TPCH_CONSTRAINTS = {
         "pk": ["o_orderkey"],
         "fks": [{"cols": ["o_custkey"], "parent": "customer", "parent_cols": ["c_custkey"]}],
     },
+    "lineitem": {
+        "pk": ["l_orderkey", "l_linenumber"],
+        "fks": [
+            {"cols": ["l_orderkey"], "parent": "orders", "parent_cols": ["o_orderkey"]},
+            {"cols": ["l_partkey"], "parent": "part", "parent_cols": ["p_partkey"]},
+            {"cols": ["l_suppkey"], "parent": "supplier", "parent_cols": ["s_suppkey"]},
+        ],
+    },
+    "events": {"pk": ["event_id"], "fks": []},
 }
 
 
@@ -411,6 +420,171 @@ def kg_pipeline_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("p_value")
         out = spark.createDataFrame(out.collect(), out.schema)  # detach from tmpdir
     return out
+
+
+# --- training-data ops over documents/embeddings ---------------------------
+
+
+@_q(
+    "text_token_stats",
+    r"""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpeish_tokens,
+           length(text) AS n_chars,
+           len(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS stopword_hits
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p5_rdf_rdb2rdf_spark.ops.text import STOPWORDS, bpeish_token_count, token_count
+
+    docs = _load(spark, sf_dir, ["documents"])["documents"]
+    toks = F.split(F.trim("text"), r"\s+")
+
+    def _eq(w):
+        return lambda x: x == F.lit(w)
+
+    n_stop = None
+    for w in STOPWORDS:
+        c = F.size(F.filter(toks, _eq(w)))
+        n_stop = c if n_stop is None else (n_stop + c)
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpeish_token_count(F.col("text")).alias("bpeish_tokens"),
+        F.length("text").alias("n_chars"),
+        n_stop.alias("stopword_hits"),
+    )
+
+
+@_q(
+    "text_lang_id",
+    r"""
+    WITH scored AS (
+      SELECT doc_id,
+        len(list_filter(string_split_regex(trim(text),'\s+'), x -> list_contains(['the','a','and','of'], x))) AS s_en,
+        len(list_filter(string_split_regex(trim(text),'\s+'), x -> list_contains(['der','die','und','nicht'], x))) AS s_de,
+        len(list_filter(string_split_regex(trim(text),'\s+'), x -> list_contains(['le','la','et','les'], x))) AS s_fr,
+        len(list_filter(string_split_regex(trim(text),'\s+'), x -> list_contains(['el','los','que','y'], x))) AS s_es
+      FROM documents
+    )
+    SELECT doc_id,
+      CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+           WHEN s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+           WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+           WHEN s_fr > 0 THEN 'fr'
+           ELSE 'und' END AS lang_guess
+    FROM scored
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p5_rdf_rdb2rdf_spark.ops.text import lang_id
+
+    docs = _load(spark, sf_dir, ["documents"])["documents"]
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
+
+
+@_q(
+    "dedup_exact",
+    r"""
+    SELECT min(doc_id) AS doc_id, count(*) AS n_dupes
+    FROM documents
+    GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p5_rdf_rdb2rdf_spark.ops.dedup import exact_dedup
+
+    docs = _load(spark, sf_dir, ["documents"])["documents"]
+    return exact_dedup(docs).select("doc_id", "n_dupes")
+
+
+@_q(
+    "ann_threshold_search",
+    """
+    SELECT q.vec_id AS query_id, c.vec_id
+    FROM embeddings q, embeddings c
+    WHERE q.vec_id < 5
+      AND list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                 CAST(c.embedding AS DOUBLE[])) >= 0.2
+    """,
+)
+def ann_threshold_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p5_rdf_rdb2rdf_spark.ops.similarity import cosine_threshold_search
+
+    emb = _load(spark, sf_dir, ["embeddings"])["embeddings"]
+    queries_df = emb.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # pair membership only: cross-engine float summation differs in the
+    # last ulp, so the cosine value itself is not hash-comparable
+    return cosine_threshold_search(emb, queries_df, threshold=0.2).select(
+        "query_id", "vec_id"
+    )
+
+
+@_q("ann_topk_bruteforce")  # rows-only: float rank ties not oracle-stable
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p5_rdf_rdb2rdf_spark.ops.similarity import cosine_topk
+
+    emb = _load(spark, sf_dir, ["embeddings"])["embeddings"]
+    queries_df = emb.where("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, queries_df, k=5)
+
+
+@_q("ann_lsh_topk")  # rows-only: approximate by design (recall tested in pytest)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p5_rdf_rdb2rdf_spark.ops.similarity import lsh_topk
+
+    emb = _load(spark, sf_dir, ["embeddings"])["embeddings"]
+    queries_df = emb.where("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries_df, k=5, n_planes=4, multiprobe=1)
+
+
+@_q("dedup_minhash_lsh")  # rows-only: xxhash64 signatures not DuckDB-reproducible
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p5_rdf_rdb2rdf_spark.ops.dedup import minhash_lsh_pairs, minhash_signatures
+
+    docs = _load(spark, sf_dir, ["documents"])["documents"]
+    sigs = minhash_signatures(docs, num_hashes=32, shingle_k=5)
+    return minhash_lsh_pairs(sigs, bands=8, threshold=0.7)
+
+
+@_q("dedup_simhash")  # rows-only: xxhash64-based
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p5_rdf_rdb2rdf_spark.ops.dedup import simhash_pairs
+
+    docs = _load(spark, sf_dir, ["documents"])["documents"]
+    return simhash_pairs(docs, max_hamming=3, shingle_k=2)
+
+
+@_q("text_fingerprints")  # rows-only: engine-defined hash (pytest checks vs python)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p5_rdf_rdb2rdf_spark.ops.text import fingerprint64
+
+    docs = _load(spark, sf_dir, ["documents"])["documents"]
+    return docs.select("doc_id", fingerprint64(F.col("text")).alias("fp"))
+
+
+@_q("multimodal_features")  # rows-only: stubbed decode kernels (see ops/multimodal.py)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p5_rdf_rdb2rdf_spark.ops.multimodal import fetch_media, media_features
+    from p5_rdf_rdb2rdf_spark.pipeline.corpus import spans_from_documents
+    from p5_rdf_rdb2rdf_spark.pipeline.spans import explode_spans
+
+    docs = _load(spark, sf_dir, ["documents"])["documents"]
+    spans = explode_spans(spans_from_documents(docs))
+    media = fetch_media(spans)
+    return media_features(media, dim=16).select(
+        "media_ref", F.round(F.element_at("feature", 1), 6).alias("f0")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

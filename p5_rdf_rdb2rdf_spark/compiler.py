@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .ir import Mapping, PredicateObjectMap, RefObject, TermMap, TriplesMap, parse_template
-from .iri import iri_safe_col, iri_safe_py
+from .iri import iri_safe_col
 from .terms import (
     KIND_BLANK,
     KIND_IRI,

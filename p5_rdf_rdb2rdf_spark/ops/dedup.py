@@ -1,0 +1,303 @@
+"""Deduplication operators for web-scale corpora.
+
+All candidate generation is hash/bucket-based (never all-pairs), so every
+variant scales as O(docs x sig) map work + a bucket-join whose fan-out is
+controlled — the shape that survives 10^12 documents:
+
+- :func:`exact_dedup` — hash-groupBy on normalized text; keeps min(id).
+- :func:`minhash_signatures` / :func:`minhash_lsh_pairs` — word-shingle
+  MinHash (H permutations via affine rehash of xxhash64), banded LSH:
+  candidate pairs only for docs sharing a band bucket.
+- :func:`simhash64` / :func:`simhash_pairs` — 64-bit SimHash, near-dup =
+  Hamming distance <= k via d/(k+1)-segment blocking (pigeonhole), no
+  all-pairs scan.
+- :func:`ngram_jaccard_pairs` — exact Jaccard on shingle sets for candidate
+  pairs (verification stage after any LSH).
+- :func:`embedding_neardup_pairs` — cosine near-dup over an embedding
+  column, bucketed by a coarse key (label / LSH sign) to bound the join.
+
+Everything is JVM expressions (xxhash64, higher-order array functions);
+no Python in any per-row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import shingle_array
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+def normalize_text(text: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one representative (min id) per distinct normalized text.
+
+    Plan: hash-partition on the normalized-text hash, map-side partial
+    min-agg — one shuffle, no sort, no window.
+    """
+    key = F.xxhash64(normalize_text(F.col(text_col))).alias("__k")
+    return (
+        df.select(F.col(id_col), F.col(text_col), key)
+        .groupBy("__k")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_dupes"))
+        .drop("__k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """-> (id, sig: array<bigint>[num_hashes]).
+
+    shingles -> xxhash64 -> H affine permutations -> array_min, all inside
+    one JVM projection; signature cost is O(tokens x H) per doc with zero
+    shuffle.
+    """
+    sh = shingle_array(F.col(text_col), k=shingle_k)
+    # one independent hash family per signature slot: xxhash64(shingle, i).
+    # (An affine rehash (a*x+b) mod M of one base hash is NOT a valid
+    # permutation family here: with 32-bit x the product wraps at most once,
+    # so most "permutations" preserve base-hash order and all collapse onto
+    # the same min — found the hard way, see tests/test_dedup_ops.py.)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become candidates; candidates
+    are verified by estimated Jaccard (signature agreement) >= threshold.
+
+    -> (id_a, id_b, est_jaccard), id_a < id_b.
+
+    Shuffle profile: explode to bands (xB rows), one shuffle on band hash,
+    join inside buckets only. A hot bucket (boilerplate shingles) fans out
+    quadratically — cap it upstream by ``spark.sql.adaptive`` skew handling
+    or a bucket-size limit filter (see tests).
+    """
+    h = sigs.select("sig").head()
+    rows_per_band = (len(h.sig) if h else 0) // bands or 1
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                    ),
+                    b,
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        / F.size("sig_a")
+    ).alias("est_jaccard")
+    return cand.select("id_a", "id_b", est).where(F.col("est_jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+_POW2 = [1 << i for i in range(63)] + [-(1 << 63)]  # bit 63 via two's complement
+
+
+def simhash64(text: Column, shingle_k: int = 2) -> Column:
+    """64-bit SimHash over word shingles, as one JVM aggregate expression:
+    for each bit i, sign(sum over shingles of ±1 by shingle-hash bit i).
+
+    One pass over the shingle array folding a 64-slot counter array
+    (aggregate + zip_with); bit weights come from a literal power table
+    (shift amounts must be Python ints in Spark's shiftleft)."""
+    hashes = F.transform(shingle_array(text, k=shingle_k), lambda s: F.xxhash64(s))
+    zero = F.array_repeat(F.lit(0), 64)
+    acc = F.aggregate(
+        hashes,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: F.when(F.getbit(h, i) == 1, F.lit(1)).otherwise(F.lit(-1)),
+            ),
+            lambda a, d: a + d,
+        ),
+    )
+    pow2 = F.lit(_POW2)
+    bits = F.zip_with(
+        acc, pow2, lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long"))
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda a, x: a.bitwiseOR(x))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    shingle_k: int = 2,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= k, via pigeonhole blocking:
+    split 64 bits into (k+1) segments; any pair within distance k agrees on
+    at least one full segment -> join on (segment_idx, segment_bits) buckets,
+    then verify exact Hamming. No all-pairs comparison anywhere.
+    """
+    segs = max_hamming + 1
+    seg_bits = 64 // segs
+    sh = df.select(F.col(id_col), simhash64(F.col(text_col), shingle_k).alias("simhash"))
+    seg_vals = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), s * seg_bits)
+            % F.lit(1 << seg_bits).cast("long")
+            for s in range(segs)
+        ]
+    )
+    blocked = sh.select(
+        id_col, "simhash", F.posexplode(seg_vals).alias("seg", "seg_val")
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.seg_val") == F.col("b.seg_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a", "id_b", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (verification stage)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,  # (id_a, id_b)
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard over word-shingle sets for given candidate pairs.
+
+    Join-twice against the (small) per-doc shingle sets; the set intersection
+    runs as array ops after a broadcastable fetch. -> (id_a, id_b, jaccard).
+    """
+    sets = df.select(
+        F.col(id_col), F.array_distinct(shingle_array(F.col(text_col), k=shingle_k)).alias("sh")
+    )
+    a = sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a")
+    b = sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b")
+    j = candidates.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return j.select(
+        "id_a",
+        "id_b",
+        F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float/double> columns, JVM-side."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    return dot / (na * nb)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str | None = None,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Cosine >= threshold pairs; the join is bucketed by ``bucket_col``
+    (a cluster label, or an LSH sign bucket from
+    :func:`..ops.similarity.hyperplane_bucket`) so candidate generation is
+    O(sum bucket^2), never O(n^2) over the corpus."""
+    cols = [F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")]
+    if bucket_col:
+        cols.append(F.col(bucket_col).alias("__bkt"))
+    base = df.select(*cols)
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col("__v").alias("v_a"), *([F.col("__bkt")] if bucket_col else [])
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col("__v").alias("v_b"), *([F.col("__bkt").alias("__bkt2")] if bucket_col else [])
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    if bucket_col:
+        cond = cond & (F.col("__bkt") == F.col("__bkt2"))
+    j = a.join(b, cond)
+    out = j.select(
+        "id_a", "id_b", F.round(cosine_expr(F.col("v_a"), F.col("v_b")), 9).alias("cosine")
+    )
+    return out.where(F.col("cosine") >= threshold)

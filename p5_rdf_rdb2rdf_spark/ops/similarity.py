@@ -1,0 +1,216 @@
+"""Similarity search over an embedding column (array<float>).
+
+- :func:`cosine_threshold_search` — all pairs (q, x) with cosine >= t,
+  query side broadcast (the oracle-checkable primitive).
+- :func:`cosine_topk` — exact brute-force top-k per query: broadcast the
+  query set, one pass over the corpus, per-query top-k via window. The
+  baseline every ANN variant is measured against.
+- :func:`hyperplane_bucket` / :func:`lsh_topk` — random-hyperplane LSH:
+  deterministic pseudo-random planes from xxhash64 (no numpy state shipped),
+  sign-bucket join, exact re-rank inside buckets. The 100 TB scale path:
+  corpus scanned once to bucket signatures; queries probe only their bucket
+  (+ optional multi-probe neighbors).
+
+All vector math is JVM higher-order expressions (zip_with/aggregate) — in a
+wide plan Catalyst fuses dot products into codegen; a Pandas-UDF + numpy
+matmul variant (`topk_pandas`) is provided for when vectors are long enough
+that BLAS wins over codegen (>~512 dims).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .dedup import cosine_expr
+
+
+def _norm(v: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+
+
+def cosine_threshold_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """(query_id, vec_id, cosine) for cosine >= threshold; queries broadcast."""
+    c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    j = c.crossJoin(F.broadcast(q))
+    out = j.select(
+        query_id_col,
+        id_col,
+        F.round(cosine_expr(F.col("qv"), F.col("v")), 9).alias("cosine"),
+    )
+    return out.where(F.col("cosine") >= threshold)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k neighbors per query (brute force, broadcast queries).
+
+    Ranking ties broken by id ascending for cross-run determinism.
+    """
+    scored = cosine_threshold_search(
+        corpus, queries, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col, threshold=-2.0
+    )
+    if exclude_self:
+        scored = scored.where(F.col(query_id_col) != F.col(id_col))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH (random hyperplanes, deterministic)
+
+
+def _plane_component(plane: int, dim_idx: Column) -> Column:
+    """Deterministic pseudo-gaussian-ish component in [-1, 1): derived from
+    xxhash64(plane, dim) so executors need no shipped random state."""
+    h = F.xxhash64(F.lit(plane), dim_idx)
+    return (h % F.lit(2_000_001)).cast("double") / 1_000_000.0
+
+
+def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
+    """Sign bucket id in [0, 2^n_planes): bit p = sign(vec . plane_p)."""
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        dot = F.aggregate(
+            F.zip_with(vec, idx, lambda x, i: x * _plane_component(p, i)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Approximate top-k: bucket corpus + queries by hyperplane signs, exact
+    cosine re-rank within shared buckets only.
+
+    Recall/latency knobs: ``n_planes`` (fewer planes => bigger buckets =>
+    higher recall, more compute) and ``multiprobe`` (0 = query's own bucket;
+    1 = also probe every bucket at Hamming distance 1 — standard multi-probe
+    LSH, +n_planes x the candidates for a large recall lift). Probing
+    expands the (small, broadcast) query side, never the corpus scan.
+    """
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        hyperplane_bucket(F.col(vec_col).cast("array<double>"), n_planes, dim).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        hyperplane_bucket(F.col(vec_col).cast("array<double>"), n_planes, dim).alias("bucket0"),
+    )
+    if multiprobe >= 1:
+        probes = F.array(
+            F.col("bucket0"),
+            *[F.col("bucket0").bitwiseXOR(F.lit(1 << p).cast("long")) for p in range(n_planes)],
+        )
+    else:
+        probes = F.array(F.col("bucket0"))
+    q = q.select(query_id_col, "qv", F.explode(probes).alias("bucket"))
+    j = c.join(F.broadcast(q), "bucket")
+    scored = j.select(
+        query_id_col,
+        id_col,
+        F.round(cosine_expr(F.col("qv"), F.col("v")), 9).alias("cosine"),
+    ).where(F.col(query_id_col) != F.col(id_col))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BLAS variant for long vectors
+
+
+def topk_pandas(
+    corpus: DataFrame,
+    query_vecs: list[tuple[str, list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-partition numpy matmul top-k (Arrow batches; queries in closure).
+
+    mapInPandas computes each partition's local top-k against all queries;
+    the global top-k merge is a tiny groupBy over (queries x partitions x k)
+    rows. This is the >=512-dim / large-k path where BLAS beats codegen.
+    """
+    qids = [q for q, _ in query_vecs]
+    qmat = np.array([v for _, v in query_vecs], dtype=np.float64)  # Q x D
+    qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qmat = qmat / np.where(qnorm == 0, 1, qnorm)
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.StringType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def part(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)  # N x D
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = mat / np.where(norms == 0, 1, norms)
+            sims = mat @ qmat.T  # N x Q
+            ids = pdf[id_col].to_numpy()
+            n_local = min(k, sims.shape[0])
+            top = np.argpartition(-sims, n_local - 1, axis=0)[:n_local]  # k x Q
+            out = {
+                "query_id": np.repeat(qids, n_local),
+                id_col: np.concatenate([ids[top[:, qi]] for qi in range(len(qids))]),
+                "cosine": np.concatenate(
+                    [np.round(sims[top[:, qi], qi], 9) for qi in range(len(qids))]
+                ),
+            }
+            yield pd.DataFrame(out)
+
+    local = corpus.select(id_col, vec_col).mapInPandas(part, schema=schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine", "rank")
+    )

@@ -1,0 +1,166 @@
+"""Text analysis ops: token counting, quality scoring, language ID,
+document fingerprinting.
+
+Scale design: token/quality/langid are pure Column expressions (whole-stage
+codegen, zero Python); fingerprinting is an Arrow-vectorized numpy rolling
+hash (content-defined, order-sensitive). Everything is deterministic —
+no wall clock, no unseeded randomness — so results are reproducible across
+runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# token counting
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (JVM-side)."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpeish_token_count(text: Column) -> Column:
+    """BPE-ish token estimate: alpha runs + digit runs + punctuation singles,
+    via one vectorized regexp scan (regexp_count stays in codegen)."""
+    return F.coalesce(F.regexp_count(text, F.lit(BPE_ISH_RE)), F.lit(0))
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def _tok_eq(w: str):
+    """Single-arg lambda factory: a 2-param lambda (e.g. ``lambda x, w=w``)
+    would be mis-read by PySpark as an (element, index) higher-order lambda,
+    binding ``w`` to the index column — found the hard way."""
+    return lambda x: x == F.lit(w)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds deterministic quality-feature columns:
+
+    n_chars, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
+    quality_score (a fixed linear blend in [0,1]).
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    n_punct = F.coalesce(F.regexp_count(t, F.lit(r"[^\w\s]")), F.lit(0))
+    toks = F.split(F.trim(t), r"\s+")
+    n_stop = None
+    for w in STOPWORDS:
+        c = F.size(F.filter(toks, _tok_eq(w)))
+        n_stop = c if n_stop is None else (n_stop + c)
+
+    out = df.withColumn("n_chars", n_chars).withColumn("n_tokens", n_tokens)
+    out = out.withColumn(
+        "avg_token_len",
+        F.when(F.col("n_tokens") > 0, (F.col("n_chars") + 1 - F.col("n_tokens")) / F.col("n_tokens")).otherwise(
+            F.lit(0.0)
+        ),
+    )
+    out = out.withColumn(
+        "punct_ratio",
+        F.when(F.col("n_chars") > 0, n_punct / F.col("n_chars")).otherwise(F.lit(0.0)),
+    )
+    out = out.withColumn(
+        "stopword_ratio",
+        F.when(F.col("n_tokens") > 0, n_stop / F.col("n_tokens")).otherwise(F.lit(0.0)),
+    )
+    score = (
+        F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(F.col("punct_ratio") * 5, F.lit(1.0))) * 0.3
+        + F.least(F.col("stopword_ratio") * 4, F.lit(1.0)) * 0.3
+    )
+    return out.withColumn("quality_score", F.round(score, 6))
+
+
+# ---------------------------------------------------------------------------
+# language identification (closed marker-word heuristic)
+
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of"],
+    "de": ["der", "die", "und", "nicht"],
+    "fr": ["le", "la", "et", "les"],
+    "es": ["el", "los", "que", "y"],
+}
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-word language ID: argmax of per-language exact-token marker
+    hits, ties broken by language code ascending, 'und' when nothing matches.
+
+    Pure expressions — split once, one array filter per (lang, marker); a
+    real n-gram profile model would swap in as a pandas UDF with the same
+    column contract.
+    """
+    toks = F.split(F.trim(F.coalesce(text, F.lit(""))), r"\s+")
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        s = None
+        for w in LANG_MARKERS[lang]:
+            c = F.size(F.filter(toks, _tok_eq(w)))
+            s = c if s is None else (s + c)
+        scores.append(F.struct(s.alias("score"), F.lit(lang).alias("lang")))
+    # max over (score, reversed-lang) == argmax score w/ asc-lang tie-break
+    best = F.greatest(*[
+        F.struct(
+            sc["score"].alias("score"),
+            # invert lang byte order for tie-break: want smallest lang on tie
+            F.lit(-i).alias("nlang"),
+            sc["lang"].alias("lang"),
+        )
+        for i, sc in enumerate(scores)
+    ])
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting (rolling hash)
+
+_FP_BASE = np.uint64(1099511628211)
+
+
+def _poly_hash(data: bytes) -> np.uint64:
+    """Polynomial rolling hash over bytes, mod 2^64 (numpy wraparound) —
+    one vectorized multiply-sum per document, no per-byte Python."""
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    if b.size == 0:
+        return np.uint64(0)
+    with np.errstate(over="ignore"):
+        powers = np.empty(b.size, dtype=np.uint64)
+        powers[0] = np.uint64(1)
+        np.multiply.accumulate(np.full(b.size - 1, _FP_BASE, dtype=np.uint64), out=powers[1:])
+        return np.uint64((b * powers).sum(dtype=np.uint64) + np.uint64(b.size))
+
+
+@F.pandas_udf(T.LongType())
+def fingerprint64(texts: pd.Series) -> pd.Series:
+    """Order-sensitive 64-bit polynomial document fingerprint, numpy-
+    vectorized per Arrow batch. Deterministic across partitions / cluster
+    sizes; collisions ~ birthday(2^64)."""
+    vals = [int(_poly_hash(v.encode("utf-8"))) for v in texts.fillna("")]
+    return pd.Series(np.array(vals, dtype=np.uint64).astype(np.int64), index=texts.index)
+
+
+def shingle_array(text: Column, k: int = 5) -> Column:
+    """Word k-gram shingles as an array<string> (JVM-side): the shared
+    building block for n-gram Jaccard and MinHash."""
+    toks = F.split(F.trim(text), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    )

@@ -33,7 +33,13 @@ def connected_components(
     )
     nodes = sym.select(F.col("u").alias("node")).distinct()
     labels = nodes.withColumn("component", F.col("node")).localCheckpoint()
-    sym = sym.localCheckpoint()
+    # right-size the iteration: per-round shuffle overhead dominates on small
+    # graphs, so shrink partitions to match |V| (entity-link graphs are often
+    # tiny after the broadcast-link stage even when the corpus is huge)
+    n_nodes = labels.count()
+    parts = max(1, min(edges.sparkSession.sparkContext.defaultParallelism, n_nodes // 50_000 + 1))
+    labels = labels.repartition(parts, "node").localCheckpoint()
+    sym = sym.repartition(parts, "u").localCheckpoint()
 
     for _ in range(max_iter):
         # (1) neighbor's current label, propagated over edges (1 hop)

@@ -1,0 +1,116 @@
+"""Dedup family on planted near-duplicates: every method must recover the
+planted pairs and reject clearly-different docs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from p5_rdf_rdb2rdf_spark.ops.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
+    "mike november oscar papa quebec romeo sierra tango uniform victor whiskey"
+).split()
+
+
+def _doc(i: int, n: int = 60) -> str:
+    import hashlib
+
+    toks = []
+    for j in range(n):
+        h = int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:8], 16)
+        toks.append(WORDS[h % len(WORDS)])
+    return " ".join(toks)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """40 base docs; docs 100..103 are near-copies of doc 0 (one word edit);
+    doc 200 is an exact copy of doc 1."""
+    rows = [(i, _doc(i)) for i in range(40)]
+    base = _doc(0).split()
+    for j, k in enumerate(range(100, 104)):
+        mutated = list(base)
+        mutated[10 + j] = "zulu"
+        rows.append((k, " ".join(mutated)))
+    rows.append((200, _doc(1)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, planted):
+    out = exact_dedup(planted)
+    reps = {r.doc_id: r.n_dupes for r in out.collect()}
+    assert reps[1] == 2  # doc 200 collapsed into doc 1
+    assert 200 not in reps
+    assert out.count() == planted.count() - 1
+
+
+def test_minhash_lsh_recovers_neardups(spark, planted):
+    sigs = minhash_signatures(planted, num_hashes=64, shingle_k=3)
+    pairs = minhash_lsh_pairs(sigs, bands=16, threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # the exact copy pair must be found with est_jaccard 1.0
+    assert (1, 200) in got
+    # each near-copy of doc 0 should be found (1-word edit of 60 -> J ~ .9)
+    for k in range(100, 104):
+        assert (0, k) in got, k
+    # distinct base docs don't collide at threshold 0.5
+    assert not any(a < 40 and b < 40 for a, b in got)
+
+
+def test_minhash_est_close_to_exact_jaccard(spark, planted):
+    sigs = minhash_signatures(planted, num_hashes=64, shingle_k=3)
+    pairs = minhash_lsh_pairs(sigs, bands=16, threshold=0.3)
+    exact = ngram_jaccard_pairs(
+        planted, pairs.select("id_a", "id_b"), shingle_k=3, threshold=0.0
+    )
+    j = {(r.id_a, r.id_b): r.jaccard for r in exact.collect()}
+    est = {(r.id_a, r.id_b): r.est_jaccard for r in pairs.collect()}
+    for key in est:
+        assert abs(est[key] - j[key]) < 0.25, (key, est[key], j[key])
+
+
+def test_simhash_pairs(spark, planted):
+    pairs = simhash_pairs(planted, max_hamming=8, shingle_k=2)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert got.get((1, 200)) == 0  # identical docs -> identical simhash
+    for k in range(100, 104):
+        assert (0, k) in got  # near-copies within hamming 8
+    # unrelated docs stay out
+    assert not any(a < 40 and b < 40 and (a, b) != (1, 200) for a, b in got)
+
+
+def test_ngram_jaccard_threshold(spark, planted):
+    cand = spark.createDataFrame(
+        [(0, 100), (0, 5), (1, 200)], "id_a long, id_b long"
+    )
+    out = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(planted, cand, shingle_k=3, threshold=0.0).collect()
+    }
+    assert out[(1, 200)] == 1.0
+    assert out[(0, 100)] > 0.8
+    assert out[(0, 5)] < 0.2
+
+
+def test_embedding_neardup(spark):
+    import numpy as np
+
+    rng = [(i, [float((i * 13 + d * 7) % 11 - 5) for d in range(8)], i % 2) for i in range(20)]
+    # plant: vec 100 = vec 0 scaled (cosine 1.0), same bucket
+    rows = rng + [(100, [2.0 * v for v in rng[0][1]], 0)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    pairs = embedding_neardup_pairs(df, bucket_col="label", threshold=0.999)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 100) in got
+    # bucketing respected: no cross-label pair can appear
+    labels = {r[0]: r[2] for r in rows}
+    assert all(labels[a] == labels[b] for a, b in got)

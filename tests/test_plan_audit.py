@@ -1,0 +1,103 @@
+"""Physical-plan audits (SURVEY.md §8.3): the mapping engine must stay
+entirely JVM-side (no Python eval nodes), scans must prune columns and push
+null filters, and forced broadcasts must materialize in the plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from p5_rdf_rdb2rdf_spark.compiler import compile_mapping
+from p5_rdf_rdb2rdf_spark.direct_mapping import direct_map
+from p5_rdf_rdb2rdf_spark.fixtures import CONSTRAINTS
+from p5_rdf_rdb2rdf_spark.r2rml import r2rml_to_ir
+
+BASE = "http://example.com/base/"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_dm_plan_no_python_and_codegen(spark, tpch):
+    tables = {"nation": tpch["nation"], "region": tpch["region"]}
+    cons = {
+        "nation": {"pk": ["n_nationkey"], "fks": []},
+        "region": {"pk": ["r_regionkey"], "fks": []},
+    }
+    t = direct_map(spark, tables, cons, base=BASE)
+    assert "Python" not in _plan(t)  # no BatchEvalPython / ArrowEvalPython
+    # codegen stage markers ('*(n)') only print with AQE off
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        t2 = direct_map(spark, tables, cons, base=BASE)
+        assert "*(" in _plan(t2)  # whole-stage codegen spans cover the plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_r2rml_string_template_no_python(spark, tpch):
+    """String-valued templates exercise IRI-safe encoding — still JVM-only."""
+    ttl = """
+    @prefix rr: <http://www.w3.org/ns/r2rml#> .
+    <#M> rr:logicalTable [ rr:tableName "customer" ] ;
+      rr:subjectMap [ rr:template "http://c/{c_name}" ] ;
+      rr:predicateObjectMap [ rr:predicate <http://p/seg> ;
+                              rr:objectMap [ rr:column "c_mktsegment" ] ] .
+    """
+    t = compile_mapping(spark, r2rml_to_ir(ttl), tables={"customer": tpch["customer"]})
+    plan = _plan(t)
+    assert "Python" not in plan
+    # encoding really is in the plan (url_encode folds to a static invoke)
+    opt = _optimized(t)
+    assert "UrlCodec.encode" in opt or "url_encode" in opt
+
+
+def test_scan_pruning_and_pushdown(spark, tpch):
+    t = direct_map(
+        spark,
+        {"nation": tpch["nation"]},
+        {"nation": {"pk": ["n_nationkey"], "fks": []}},
+        base=BASE,
+    )
+    # predicate-bound pattern: only 2 columns read, IsNotNull pushed to scan
+    one = t.where(F.col("p_value") == f"{BASE}nation#n_name")
+    plan = _plan(one)
+    assert "PushedFilters: [IsNotNull" in plan
+    # no scan in this single-pattern plan should read all 3 nation columns
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "n_regionkey" not in line, line
+
+
+def test_broadcast_hint_applied(spark, tpch):
+    ttl = """
+    @prefix rr: <http://www.w3.org/ns/r2rml#> .
+    <#O> rr:logicalTable [ rr:tableName "orders" ] ;
+      rr:subjectMap [ rr:template "http://o/{o_orderkey}" ] ;
+      rr:predicateObjectMap [ rr:predicate <http://p/c> ;
+        rr:objectMap [ rr:parentTriplesMap <#C> ;
+                       rr:joinCondition [ rr:child "o_custkey" ; rr:parent "c_custkey" ] ] ] .
+    <#C> rr:logicalTable [ rr:tableName "customer" ] ;
+      rr:subjectMap [ rr:template "http://c/{c_custkey}" ] .
+    """
+    tables = {"orders": tpch["orders"], "customer": tpch["customer"]}
+    t = compile_mapping(spark, r2rml_to_ir(ttl), tables=tables, broadcast_parents={"#C"})
+    assert "BroadcastHashJoin" in _plan(t)
+
+
+def test_dedup_is_partial_aggregate(spark, tpch):
+    """RDF set semantics must compile to map-side partial + final hash
+    aggregate (one shuffle), not a global sort."""
+    t = direct_map(
+        spark,
+        {"region": tpch["region"]},
+        {"region": {"pk": ["r_regionkey"], "fks": []}},
+        base=BASE,
+    )
+    plan = _plan(t)
+    assert plan.count("HashAggregate") >= 2
+    assert "Sort " not in plan

@@ -1,0 +1,81 @@
+"""ANN ops vs numpy exact oracle on the driver testdata embeddings."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from p5_rdf_rdb2rdf_spark.ops.similarity import (
+    cosine_threshold_search,
+    cosine_topk,
+    hyperplane_bucket,
+    lsh_topk,
+    topk_pandas,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, tpch):
+    return tpch["embeddings"]
+
+
+def _np_index(emb):
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    return ids, mat
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    ids, mat = _np_index(emb)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = cosine_topk(emb, queries, k=5)
+    got_map = {}
+    for r in got.collect():
+        got_map.setdefault(r.query_id, []).append((r.rank, r.vec_id))
+    for q in range(3):
+        sims = mat @ mat[np.where(ids == q)[0][0]]
+        order = sorted(zip(-np.round(sims, 9), ids))  # desc cos, asc id
+        want = [i for negc, i in order if i != q][:5]
+        got_ids = [v for _, v in sorted(got_map[q])]
+        assert got_ids == want, q
+
+
+def test_topk_pandas_matches_expression_path(spark, emb):
+    q = [(str(r.vec_id), list(r.embedding)) for r in emb.where("vec_id < 3").collect()]
+    a = topk_pandas(emb.where("vec_id >= 3"), q, k=5)
+    queries = emb.where("vec_id < 3").select(
+        F.col("vec_id").cast("string").alias("query_id"), "embedding"
+    )
+    b = cosine_topk(emb.where("vec_id >= 3"), queries, k=5, exclude_self=False)
+    ga = sorted((r.query_id, r.rank, r.vec_id) for r in a.collect())
+    gb = sorted((r.query_id, r.rank, r.vec_id) for r in b.collect())
+    assert ga == gb
+
+
+def test_threshold_search_self_similarity(spark, emb):
+    queries = emb.where("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
+    out = cosine_threshold_search(emb, queries, threshold=0.999999)
+    got = {(r.query_id, r.vec_id) for r in out.collect()}
+    for q in range(5):
+        assert (q, q) in got  # self-cosine == 1.0
+
+
+def test_lsh_recall_reasonable(spark, emb):
+    """Single-probe LSH with few planes: recall vs exact top-5 must beat the
+    random-baseline by a wide margin (labels cluster the space)."""
+    queries = emb.where("vec_id < 20").select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = cosine_topk(emb, queries, k=5)
+    approx = lsh_topk(emb, queries, k=5, n_planes=4, multiprobe=1)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, recall
+    # buckets must be deterministic across runs
+    b1 = emb.select(hyperplane_bucket(F.col("embedding").cast("array<double>")).alias("b"))
+    b2 = emb.select(hyperplane_bucket(F.col("embedding").cast("array<double>")).alias("b"))
+    assert [r.b for r in b1.collect()] == [r.b for r in b2.collect()]

@@ -1,0 +1,88 @@
+"""Text analysis ops vs plain-Python oracles."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from p5_rdf_rdb2rdf_spark.ops.text import (
+    BPE_ISH_RE,
+    LANG_MARKERS,
+    STOPWORDS,
+    bpeish_token_count,
+    fingerprint64,
+    lang_id,
+    quality_features,
+    shingle_array,
+    token_count,
+    _poly_hash,
+)
+
+SAMPLES = [
+    "the quick brown fox",
+    "  padded   spaces  here ",
+    "",
+    "one",
+    "punct, heavy!! text?? yes...",
+    "der hund und die katze nicht",
+    "le chat et la maison les",
+    "numbers 123 mixed456tokens",
+]
+
+
+def _df(spark, texts):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+
+
+def test_token_counts(spark):
+    df = _df(spark, SAMPLES)
+    got = {r.doc_id: (r.tc, r.bc) for r in df.select(
+        "doc_id", token_count(F.col("text")).alias("tc"), bpeish_token_count(F.col("text")).alias("bc")
+    ).collect()}
+    for i, t in enumerate(SAMPLES):
+        assert got[i][0] == (len(t.split()) if t.strip() else 0), t
+        assert got[i][1] == len(re.findall(BPE_ISH_RE, t)), t
+
+
+def test_quality_features(spark):
+    df = quality_features(_df(spark, SAMPLES))
+    rows = {r.doc_id: r for r in df.collect()}
+    t = SAMPLES[0]  # "the quick brown fox"
+    r = rows[0]
+    assert r.n_tokens == 4 and r.n_chars == len(t)
+    stop = sum(1 for w in t.split() if w in STOPWORDS)
+    assert abs(r.stopword_ratio - stop / 4) < 1e-9
+    assert 0.0 <= r.quality_score <= 1.0
+    assert rows[2].n_tokens == 0 and rows[2].quality_score is not None
+    assert rows[4].punct_ratio > rows[0].punct_ratio
+
+
+def test_lang_id(spark):
+    df = _df(spark, SAMPLES).select("doc_id", lang_id(F.col("text")).alias("lang"))
+    got = {r.doc_id: r.lang for r in df.collect()}
+    assert got[0] == "en"
+    assert got[5] == "de"
+    assert got[6] == "fr"
+    assert got[3] == "und"  # no markers
+
+
+def test_fingerprint_matches_python_and_is_order_sensitive(spark):
+    df = _df(spark, SAMPLES).select("doc_id", fingerprint64(F.col("text")).alias("fp"))
+    got = {r.doc_id: r.fp for r in df.collect()}
+    import numpy as np
+
+    for i, t in enumerate(SAMPLES):
+        want = int(np.uint64(_poly_hash(t.encode())).astype(np.int64))
+        assert got[i] == want
+    df2 = _df(spark, ["ab c", "c ab"]).select(fingerprint64(F.col("text")).alias("fp"))
+    a, b = [r.fp for r in df2.collect()]
+    assert a != b
+
+
+def test_shingles(spark):
+    df = _df(spark, ["a b c d e f"]).select(shingle_array(F.col("text"), k=3).alias("sh"))
+    got = df.head().sh
+    assert got == ["a b c", "b c d", "c d e", "d e f"]
+    short = _df(spark, ["a b"]).select(shingle_array(F.col("text"), k=5).alias("sh")).head().sh
+    assert short == ["a b"]
