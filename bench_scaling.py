@@ -29,6 +29,8 @@ def run_bench(cpus: int) -> dict:
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     env.setdefault("SPARK_GRAFT_BENCH_DOCS", "100000")
+    env.setdefault("SPARK_GRAFT_REPS", "1")
+    env.setdefault("SPARK_DRIVER_MEM", "48g")
     out = subprocess.run(
         [sys.executable, str(ROOT / "bench.py")],
         capture_output=True,
@@ -40,9 +42,30 @@ def run_bench(cpus: int) -> dict:
     return json.loads(line)
 
 
+def _min_merge(runs: list[dict]) -> dict:
+    """Per-query min across alternating repetitions (cancels host drift —
+    this sandbox varies 2-3x run-to-run, see BENCH/BASELINE.md)."""
+    best = json.loads(json.dumps(runs[0]))
+    for r in runs[1:]:
+        for q, t in r["queries"].items():
+            if t < best["queries"][q]:
+                best["queries"][q] = t
+    for r in runs:
+        kt = r["aux"]["kg_triples_per_sec"]
+        dt = r["aux"]["dm_triples_per_sec"]
+        best["aux"]["kg_triples_per_sec"] = max(best["aux"]["kg_triples_per_sec"], kt)
+        best["aux"]["dm_triples_per_sec"] = max(best["aux"]["dm_triples_per_sec"], dt)
+    return best
+
+
 def main() -> None:
-    small = run_bench(N_SMALL)
-    big = run_bench(N_BIG)
+    rounds = int(os.environ.get("SPARK_SCALE_ROUNDS", "3"))
+    small_runs, big_runs = [], []
+    for _ in range(rounds):  # A,B,A,B,... cancels cache/thermal drift
+        small_runs.append(run_bench(N_SMALL))
+        big_runs.append(run_bench(N_BIG))
+    small = _min_merge(small_runs)
+    big = _min_merge(big_runs)
     ratio = N_BIG / N_SMALL
 
     rows = []
