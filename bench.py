@@ -8,7 +8,7 @@ Workload = the engine's headline paths at $SPARK_GRAFT_SF_DIR (default
   r2rml_join     R2RML mapping with ref-object join orders x customer
   kg_pipeline    interleaved corpus -> spans -> relations -> link -> CC ->
                  distinct triples (checkpoint-free variant; N docs scale
-                 with SPARK_GRAFT_BENCH_DOCS, default 100k)
+                 with SPARK_GRAFT_BENCH_DOCS, default 1M)
   dedup_minhash  MinHash-LSH near-dup pairs over documents
   ann_topk       LSH top-k (multiprobe) for 16 queries over embeddings
 
@@ -34,7 +34,7 @@ from p5_rdf_rdb2rdf_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1000000"))
 # replicate lineitem SCALE_MULT x for dm_full so the mapping job is compute-
 # bound, not fixed-cost-bound (sf0.1 alone = ~10M triples = ~10s of work,
 # which is too small to measure scaling against per-job constant costs)
