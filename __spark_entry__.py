@@ -587,6 +587,84 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- O40: span-sequence invariant, checked through the contract ------------
+@_q("kg_span_invariant", "SELECT 0 AS n_violations")
+def kg_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode -> reassemble must preserve every doc's span sequence."""
+    from p5_rdf_rdb2rdf_spark.pipeline.corpus import spans_from_documents
+    from p5_rdf_rdb2rdf_spark.pipeline.spans import (
+        explode_spans,
+        reassemble_docs,
+        span_invariant_violations,
+    )
+
+    docs = spans_from_documents(_load(spark, sf_dir, ["documents"])["documents"])
+    back = reassemble_docs(explode_spans(docs))
+    v = span_invariant_violations(docs, back)
+    return v.agg(F.count(F.lit(1)).alias("n_violations"))
+
+
+# --- temporal rr:sqlQuery view over the events table -----------------------
+_R2RML_EVENTS = """
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix ex: <http://example.org/tpch#> .
+<#Daily>
+  rr:logicalTable [ rr:sqlQuery \"\"\"
+    SELECT CAST(CAST(ts AS DATE) AS STRING) AS day, event_type,
+           COUNT(*) AS n_events
+    FROM events GROUP BY CAST(CAST(ts AS DATE) AS STRING), event_type
+  \"\"\" ] ;
+  rr:subjectMap [ rr:template "http://example.org/daily/{day}/{event_type}" ] ;
+  rr:predicateObjectMap [ rr:predicate ex:nEvents ;
+                          rr:objectMap [ rr:column "n_events" ] ] .
+"""
+
+
+@_q(
+    "r2rml_events_daily",
+    """
+    WITH v AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT 'http://example.org/daily/' || day || '/' || event_type AS s_value,
+           'http://example.org/tpch#nEvents' AS p_value,
+           CAST(n_events AS VARCHAR) AS o_value
+    FROM v
+    """,
+)
+def r2rml_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p5_rdf_rdb2rdf_spark.compiler import compile_mapping
+    from p5_rdf_rdb2rdf_spark.r2rml import r2rml_to_ir
+
+    _load(spark, sf_dir, ["events"])
+    t = compile_mapping(spark, r2rml_to_ir(_R2RML_EVENTS))
+    return t.select("s_value", "p_value", "o_value")
+
+
+# --- O12: lazy Direct-Mapping store, bound-predicate pattern ----------------
+@_q(
+    "store_bound_predicate",
+    f"""
+    SELECT '{BASE}customer/c_custkey=' || CAST(c_custkey AS VARCHAR) AS s_value,
+           c_mktsegment AS o_value
+    FROM customer WHERE c_mktsegment IS NOT NULL
+    """,
+)
+def store_bound_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_statements(p=<customer#c_mktsegment>) — decoded driver-side into a
+    pushed-down single-table scan (SURVEY.md §4.3)."""
+    from p5_rdf_rdb2rdf_spark.store import DirectMappingStore
+
+    tables = _load(spark, sf_dir, ["customer"])
+    store = DirectMappingStore(
+        spark, {"customer": tables["customer"]}, TPCH_CONSTRAINTS, base=BASE
+    )
+    t = store.get_statements(p=f"{BASE}customer#c_mktsegment")
+    return t.select("s_value", "o_value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 
