@@ -94,6 +94,12 @@ class RDB2RDF:
     def process_ntriples(self, spark: SparkSession, tables=None, manifest=None, **kw: Any) -> list[str]:
         return to_ntriples(self.process(spark, tables, manifest=manifest, **kw))
 
+    def process_each(self, spark: SparkSession, callback, tables=None, manifest=None, **kw: Any) -> None:
+        """Streaming-callback destination parity (``Simple.pm::process`` with
+        a coderef dest, SURVEY.md O5): ``callback`` runs once per executor
+        partition over an iterator of triple Rows — no driver buffering."""
+        self.process(spark, tables, manifest=manifest, **kw).foreachPartition(callback)
+
     # -- mapping JSON round trip (O37) ---------------------------------------
     def to_json(self, **kw: Any) -> str:
         return self.ir.to_json(**kw)
