@@ -6,7 +6,7 @@ controlled — the shape that survives 10^12 documents:
 
 - :func:`exact_dedup` — hash-groupBy on normalized text; keeps min(id).
 - :func:`minhash_signatures` / :func:`minhash_lsh_pairs` — word-shingle
-  MinHash (H permutations via affine rehash of xxhash64), banded LSH:
+  MinHash (H independent xxhash64(shingle, seed) families), banded LSH:
   candidate pairs only for docs sharing a band bucket.
 - :func:`simhash64` / :func:`simhash_pairs` — 64-bit SimHash, near-dup =
   Hamming distance <= k via d/(k+1)-segment blocking (pigeonhole), no
@@ -63,8 +63,8 @@ def minhash_signatures(
 ) -> DataFrame:
     """-> (id, sig: array<bigint>[num_hashes]).
 
-    shingles -> xxhash64 -> H affine permutations -> array_min, all inside
-    one JVM projection; signature cost is O(tokens x H) per doc with zero
+    shingles -> H independent xxhash64(shingle, seed) mins, all inside one
+    JVM projection; signature cost is O(tokens x H) per doc with zero
     shuffle.
     """
     sh = shingle_array(F.col(text_col), k=shingle_k)
