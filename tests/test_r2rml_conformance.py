@@ -74,6 +74,23 @@ def test_graph_shortcut(spark, tables):
     assert rows and all(r.g_value == "http://e/G" for r in rows)
 
 
+def test_graph_map_template(spark, tables):
+    """R2RML §9: graph maps may be template-valued (per-row named graphs)."""
+    ir = r2rml_to_ir(
+        RR
+        + """
+        <#M> rr:logicalTable [ rr:tableName "dept" ] ;
+          rr:subjectMap [ rr:template "http://d/{deptno}" ;
+                          rr:graphMap [ rr:template "http://g/{loc}" ] ] ;
+          rr:predicateObjectMap [ rr:predicate ex:n ; rr:objectMap [ rr:column "dname" ] ] .
+        """
+    )
+    rows = compile_mapping(spark, ir, tables=tables).collect()
+    got = {(r.s_value, r.g_value) for r in rows}
+    assert ("http://d/10", "http://g/NEW%20YORK") in got  # IRI-safe encoded
+    assert ("http://d/20", "http://g/BOSTON") in got
+
+
 def test_template_escaped_braces(spark, tables):
     lines = _run(
         spark,
