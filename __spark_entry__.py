@@ -554,7 +554,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _load(spark, sf_dir, ["documents"])["documents"]
     sigs = minhash_signatures(docs, num_hashes=32, shingle_k=5)
-    return minhash_lsh_pairs(sigs, bands=8, threshold=0.7)
+    return minhash_lsh_pairs(sigs, bands=8, threshold=0.7, num_hashes=32)
 
 
 @_q("dedup_simhash")  # rows-only: xxhash64-based

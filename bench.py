@@ -157,7 +157,7 @@ def main() -> None:
         from p5_rdf_rdb2rdf_spark.ops.dedup import minhash_lsh_pairs, minhash_signatures
 
         sigs = minhash_signatures(tables["documents"], num_hashes=32, shingle_k=5)
-        return minhash_lsh_pairs(sigs, bands=8, threshold=0.7).count()
+        return minhash_lsh_pairs(sigs, bands=8, threshold=0.7, num_hashes=32).count()
 
     aux["minhash_pairs"] = run("dedup_minhash", dedup_minhash)
 

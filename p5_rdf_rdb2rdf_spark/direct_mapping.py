@@ -22,7 +22,7 @@ Triple shapes (DM spec; all IRIs below IRI-safe-percent-encoded per part):
 
 No-PK tables get blank-node subjects. The reference (RDF::Trine) issues
 fresh per-process labels; for cross-system P/R comparison we instead emit
-deterministic labels ``t_<table>_<xxhash64(all columns)>`` (FIXTURES.md §5
+deterministic labels ``t_<table>_<xxhash64(row-JSON)>`` (FIXTURES.md §5
 decision). Under RDF set semantics fully-duplicate rows therefore collapse —
 documented deviation, matched by the harness.
 
@@ -53,10 +53,19 @@ def _row_node_template(base: str, table: str, pk: list[str]) -> str:
 
 
 def _blank_expr(table: str, columns: list[str]) -> TermMap:
+    # Hash a null-discriminating JSON encoding of the whole row, NOT the raw
+    # columns: Spark's hash functions skip NULL inputs (the seed passes
+    # through unchanged), so xxhash64(a, b) would give ('x', NULL) and
+    # (NULL, 'x') the same label and merge distinct rows. to_json with
+    # ignoreNullFields=false keys every value by column name, so NULL
+    # position/type always changes the encoding.
     cols = ", ".join(f"`{c}`" for c in columns)
     return TermMap(
         kind="expr",
-        expr=f"concat('t_{table}_', conv(cast(xxhash64({cols}) as string), 10, 16))",
+        expr=(
+            f"concat('t_{table}_', conv(cast(xxhash64(to_json(struct({cols}), "
+            f"map('ignoreNullFields', 'false'))) as string), 10, 16))"
+        ),
         term_type=KIND_BLANK,
     )
 

@@ -38,12 +38,15 @@ def normalize_text(text: Column) -> Column:
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Keep one representative (min id) per distinct normalized text.
 
-    Plan: hash-partition on the normalized-text hash, map-side partial
-    min-agg — one shuffle, no sort, no window.
+    Groups by the normalized text itself, NOT a 64-bit digest of it: Spark
+    already hashes the key for the shuffle, and grouping by a digest would
+    merge genuinely-distinct colliding documents — statistically certain at
+    the 10^12-doc design scale (birthday bound ~2^32). Plan: one shuffle,
+    map-side partial min-agg, no sort, no window.
     """
-    key = F.xxhash64(normalize_text(F.col(text_col))).alias("__k")
+    key = normalize_text(F.col(text_col)).alias("__k")
     return (
-        df.select(F.col(id_col), F.col(text_col), key)
+        df.select(F.col(id_col), key)
         .groupBy("__k")
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_dupes"))
         .drop("__k")
@@ -82,24 +85,48 @@ def minhash_signatures(
     return df.select(F.col(id_col), sig.alias("sig"))
 
 
+def _cap_buckets(banded: DataFrame, keys: list[str], max_bucket_size: int | None) -> DataFrame:
+    """Drop buckets larger than ``max_bucket_size`` before a bucket self-join.
+
+    A boilerplate bucket (empty docs, shared headers) otherwise fans out
+    O(bucket^2) — the one shape that kills a 100 TB run. The size pass is a
+    map-side-combinable count + an inner join back on the bucket key; docs in
+    an over-full bucket are simply not candidate-paired through that bucket
+    (standard LSH practice: such buckets carry no discriminative signal).
+    """
+    if max_bucket_size is None:
+        return banded
+    sizes = (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .where(F.col("__bn") <= max_bucket_size)
+        .drop("__bn")
+    )
+    return banded.join(sizes, keys)
+
+
 def minhash_lsh_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
     bands: int = 16,
     threshold: float = 0.7,
+    num_hashes: int = 64,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become candidates; candidates
     are verified by estimated Jaccard (signature agreement) >= threshold.
 
     -> (id_a, id_b, est_jaccard), id_a < id_b.
 
-    Shuffle profile: explode to bands (xB rows), one shuffle on band hash,
-    join inside buckets only. A hot bucket (boilerplate shingles) fans out
-    quadratically — cap it upstream by ``spark.sql.adaptive`` skew handling
-    or a bucket-size limit filter (see tests).
+    ``num_hashes`` must match the signature length from
+    :func:`minhash_signatures` (threaded through rather than inferred with a
+    driver-side ``head()``, which would run a whole Spark job just to read
+    one array length). Shuffle profile: explode to bands (xB rows), one
+    shuffle on band hash, join inside buckets only; buckets larger than
+    ``max_bucket_size`` are dropped before the self-join (see
+    :func:`_cap_buckets`).
     """
-    h = sigs.select("sig").head()
-    rows_per_band = (len(h.sig) if h else 0) // bands or 1
+    rows_per_band = num_hashes // bands or 1
     banded = sigs.select(
         F.col(id_col),
         F.col("sig"),
@@ -119,6 +146,7 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
+    banded = _cap_buckets(banded, ["band", "bucket"], max_bucket_size)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -188,25 +216,47 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     shingle_k: int = 2,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= k, via pigeonhole blocking:
     split 64 bits into (k+1) segments; any pair within distance k agrees on
     at least one full segment -> join on (segment_idx, segment_bits) buckets,
     then verify exact Hamming. No all-pairs comparison anywhere.
+
+    Segment extraction uses ``pmod``, not ``%``: for segment 0 the shift is a
+    no-op, the value keeps the simhash's sign, and Spark ``%`` follows the
+    dividend's sign — so opposite-sign simhashes whose only agreeing segment
+    is segment 0 would land in different buckets and the pigeonhole guarantee
+    would silently fail (regression: tests/test_dedup_ops.py).
     """
+    sh = df.select(F.col(id_col), simhash64(F.col(text_col), shingle_k).alias("simhash"))
+    return simhash_blocked_pairs(sh, id_col=id_col, max_hamming=max_hamming, max_bucket_size=max_bucket_size)
+
+
+def simhash_blocked_pairs(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Pigeonhole-blocked near-pairs over a precomputed (id, simhash) frame —
+    the core of :func:`simhash_pairs`, exposed so the segment-extraction sign
+    handling is unit-testable on literal simhash values."""
     segs = max_hamming + 1
     seg_bits = 64 // segs
-    sh = df.select(F.col(id_col), simhash64(F.col(text_col), shingle_k).alias("simhash"))
     seg_vals = F.array(
         *[
-            F.shiftrightunsigned(F.col("simhash"), s * seg_bits)
-            % F.lit(1 << seg_bits).cast("long")
+            F.pmod(
+                F.shiftrightunsigned(F.col("simhash"), s * seg_bits),
+                F.lit(1 << seg_bits).cast("long"),
+            )
             for s in range(segs)
         ]
     )
     blocked = sh.select(
         id_col, "simhash", F.posexplode(seg_vals).alias("seg", "seg_val")
     )
+    blocked = _cap_buckets(blocked, ["seg", "seg_val"], max_bucket_size)
     a, b = blocked.alias("a"), blocked.alias("b")
     cand = (
         a.join(
@@ -278,24 +328,39 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     bucket_col: str | None = None,
     threshold: float = 0.95,
+    dim: int = 64,
+    auto_planes: int = 4,
 ) -> DataFrame:
-    """Cosine >= threshold pairs; the join is bucketed by ``bucket_col``
-    (a cluster label, or an LSH sign bucket from
-    :func:`..ops.similarity.hyperplane_bucket`) so candidate generation is
-    O(sum bucket^2), never O(n^2) over the corpus."""
-    cols = [F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")]
-    if bucket_col:
-        cols.append(F.col(bucket_col).alias("__bkt"))
+    """Cosine >= threshold pairs; the join is ALWAYS bucketed so candidate
+    generation is O(sum bucket^2), never O(n^2) over the corpus.
+
+    ``bucket_col`` names a caller-provided coarse key (cluster label, shard).
+    When it is None the op auto-buckets by random-hyperplane signs
+    (:func:`..ops.similarity.hyperplane_bucket`, ``auto_planes`` planes over
+    ``dim`` dims) rather than silently degrading to an all-pairs self-join —
+    the one default that cannot be allowed at 10^12 rows. Auto-bucketing is
+    approximate: a cos>=t pair lands in the same sign bucket with prob
+    ~(1 - arccos(t)/pi)^planes (>=0.89 for t=0.95, planes=4); pass an exact
+    partition key as ``bucket_col`` when exact recall is required."""
+    if bucket_col is None:
+        from .similarity import hyperplane_bucket
+
+        df = df.withColumn(
+            "__auto_bkt",
+            hyperplane_bucket(F.col(vec_col).cast("array<double>"), n_planes=auto_planes, dim=dim),
+        )
+        bucket_col = "__auto_bkt"
+    cols = [
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        F.col(bucket_col).alias("__bkt"),
+    ]
     base = df.select(*cols)
-    a = base.select(
-        F.col(id_col).alias("id_a"), F.col("__v").alias("v_a"), *([F.col("__bkt")] if bucket_col else [])
-    )
+    a = base.select(F.col(id_col).alias("id_a"), F.col("__v").alias("v_a"), F.col("__bkt"))
     b = base.select(
-        F.col(id_col).alias("id_b"), F.col("__v").alias("v_b"), *([F.col("__bkt").alias("__bkt2")] if bucket_col else [])
+        F.col(id_col).alias("id_b"), F.col("__v").alias("v_b"), F.col("__bkt").alias("__bkt2")
     )
-    cond = F.col("id_a") < F.col("id_b")
-    if bucket_col:
-        cond = cond & (F.col("__bkt") == F.col("__bkt2"))
+    cond = (F.col("id_a") < F.col("id_b")) & (F.col("__bkt") == F.col("__bkt2"))
     j = a.join(b, cond)
     out = j.select(
         "id_a", "id_b", F.round(cosine_expr(F.col("v_a"), F.col("v_b")), 9).alias("cosine")

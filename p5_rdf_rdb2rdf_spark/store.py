@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from .compiler import compile_mapping
 from .direct_mapping import direct_mapping_ir
 from .ir import Mapping, TriplesMap
-from .terms import KIND_IRI, KIND_LITERAL, RDF_TYPE
+from .terms import KIND_IRI, KIND_LITERAL, RDF_TYPE, lexical_form
 
 
 # ---------------------------------------------------------------------------
@@ -120,7 +120,9 @@ class DirectMappingStore:
             return None
         table_enc, pairs = rest.split("/", 1)
         table = unquote(table_enc)
-        if table not in self.tables:
+        # decoding only needs the manifest: an fk-object can reference a
+        # parent table that isn't loaded (the child row carries the values)
+        if table not in self.tables and table not in self.manifest:
             return None
         pk_values = {}
         for pair in pairs.split(";"):
@@ -143,17 +145,64 @@ class DirectMappingStore:
             return _DecodedPredicate(table, None, cols)
         return _DecodedPredicate(table, unquote(frag), None)
 
+    # -- typed object decode -------------------------------------------------
+    def _typed_object_value(self, table: str, column: str, o: str):
+        """Decode a bound-object lexical back into the column's native type so
+        the filter reaches the parquet scan as a typed pushed filter.
+        Returns (ok, value); ok=False => no row can ever match."""
+        import datetime as _dt
+        from decimal import Decimal, InvalidOperation
+
+        from pyspark.sql import types as T
+
+        field = {f.name: f for f in self.tables[table].schema.fields}.get(column)
+        if field is None:
+            return False, None
+        t = field.dataType
+        try:
+            if isinstance(t, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+                return True, int(o)
+            if isinstance(t, T.DecimalType):
+                return True, Decimal(o)
+            if isinstance(t, (T.FloatType, T.DoubleType)):
+                return True, float(o)
+            if isinstance(t, T.BooleanType):
+                if o in ("true", "false"):
+                    return True, o == "true"
+                return False, None
+            if isinstance(t, T.DateType):
+                return True, _dt.date.fromisoformat(o)
+            if isinstance(t, T.TimestampType):
+                return True, _dt.datetime.strptime(o, "%Y-%m-%dT%H:%M:%S")
+            if isinstance(t, T.BinaryType):
+                return True, bytes.fromhex(o)
+            return True, o  # string family: lexical == raw value
+        except (ValueError, InvalidOperation):
+            return False, None
+
     # -- pattern query -------------------------------------------------------
     def get_statements(
         self,
         s: str | None = None,
         p: str | None = None,
         o: str | None = None,
+        g: str | None = None,
     ) -> DataFrame:
-        """Bound-term pattern -> minimal plan over the source tables."""
+        """Bound-term pattern -> minimal plan over the source tables.
+
+        Mirrors the reference Store's lazy SQL translation
+        (``DirectMapping/Store.pm::get_statements``, SURVEY.md O12): every
+        bound term that the DM IRI scheme can invert becomes a typed filter
+        on the ONE source table/column involved, so Catalyst pushes it into
+        the parquet scan; Direct Mapping emits only the default graph, so any
+        bound ``g`` answers empty without touching a table."""
         ir = self._ir
         selected: dict[str, TriplesMap] = dict(ir.triples_maps)
 
+        if g is not None:
+            return self._empty()  # DM triples live in the default graph only
+
+        dec: _DecodedPredicate | None = None
         # bound predicate: keep only the table + the one matching POM
         if p is not None:
             dec = self._decode_predicate(p)
@@ -196,6 +245,44 @@ class DirectMappingStore:
             }
             subject_filter = dec_s
 
+        # bound object: decode into typed source-column filters (the analog
+        # of the reference's SQL `WHERE col = ?` for bound objects)
+        object_filters: dict[str, list] = {}
+        if o is not None:
+            if p == RDF_TYPE:
+                # class IRIs are per-table constants: prune to the one table
+                selected = {n: tm for n, tm in selected.items() if o in tm.classes}
+            elif dec is not None and dec.column is not None:
+                ok, val = self._typed_object_value(dec.table, dec.column, o)
+                if not ok:
+                    return self._empty()
+                field = {f.name: f for f in self.tables[dec.table].schema.fields}[dec.column]
+                # typed equality reaches the parquet scan as a pushed filter;
+                # the lexical equality keeps exactness for any type whose
+                # native equality is coarser than its lexical form
+                object_filters[dec.table] = [
+                    F.col(dec.column) == F.lit(val),
+                    lexical_form(F.col(dec.column), field.dataType) == o,
+                ]
+            elif dec is not None and dec.ref_cols is not None:
+                dec_o = self._decode_subject(o)
+                fk = next(
+                    (
+                        f
+                        for f in self.manifest.get(dec.table, {}).get("fks", [])
+                        if list(f["cols"]) == dec.ref_cols
+                    ),
+                    None,
+                )
+                if dec_o is None or fk is None or dec_o.table != fk["parent"]:
+                    return self._empty()
+                flt = []
+                for pc, cc in zip(fk["parent_cols"], fk["cols"]):
+                    if pc not in dec_o.pk_values:
+                        return self._empty()
+                    flt.append(F.col(cc).cast("string") == dec_o.pk_values[pc])
+                object_filters[dec.table] = flt
+
         if not selected:
             return self._empty()
 
@@ -206,6 +293,11 @@ class DirectMappingStore:
             for k, v in subject_filter.pk_values.items():
                 src = src.where(F.col(k).cast("string") == v)
             tables[subject_filter.table] = src
+        for tbl, flts in object_filters.items():
+            src = tables[tbl]
+            for flt in flts:
+                src = src.where(flt)
+            tables[tbl] = src
 
         df = compile_mapping(self.spark, sub_ir, tables=tables, dedup=True)
         if s is not None:

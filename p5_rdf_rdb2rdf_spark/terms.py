@@ -130,6 +130,45 @@ def lexical_form(col: Column, spark_type: T.DataType) -> Column:
     return col.cast("string")
 
 
+def _java_double_str(v: float) -> str:
+    """Java ``Double.toString`` semantics, which is what Spark's
+    CAST(double AS STRING) emits: decimal notation for 1e-3 <= |v| < 1e7,
+    otherwise ``d.dddE<exp>`` scientific (no '+' on the exponent), always at
+    least one digit after the point. Python's ``repr`` provides the same
+    shortest-round-trip digit string; only the layout differs."""
+    import math
+
+    if math.isnan(v):
+        return "NaN"
+    if math.isinf(v):
+        return "Infinity" if v > 0 else "-Infinity"
+    sign = "-" if math.copysign(1.0, v) < 0 else ""
+    a = abs(v)
+    if a == 0.0:
+        return sign + "0.0"
+    s = repr(a)
+    if "e" in s:
+        mant, estr = s.split("e")
+        e = int(estr)
+    else:
+        mant, e = s, 0
+    ip, _, fp = mant.partition(".")
+    alldig = ip + fp
+    first = 0
+    while alldig[first] == "0":
+        first += 1
+    exp10 = (len(ip) - 1 - first) + e  # exponent of the first significant digit
+    digits = alldig[first:].rstrip("0") or "0"
+    if -3 <= exp10 < 7:
+        if exp10 >= 0:
+            ipart = digits[: exp10 + 1].ljust(exp10 + 1, "0")
+            fpart = digits[exp10 + 1 :] or "0"
+            return f"{sign}{ipart}.{fpart}"
+        return f"{sign}0.{'0' * (-exp10 - 1)}{digits}"
+    fpart = digits[1:] or "0"
+    return f"{sign}{digits[0]}.{fpart}E{exp10}"
+
+
 def lexical_form_py(value, spark_type: T.DataType) -> str:
     """Python twin of :func:`lexical_form` — used by the golden-triple harness
     so both sides of the P/R check share one canonicalizer (FIXTURES.md §5)."""
@@ -138,6 +177,16 @@ def lexical_form_py(value, spark_type: T.DataType) -> str:
 
     if value is None:
         raise ValueError("lexical_form_py(None)")
+    if isinstance(spark_type, T.FloatType):
+        # float32 shortest-repr (Java Float.toString) digits differ from the
+        # double digits Python sees after JVM->py widening; refuse rather
+        # than let goldens silently diverge from the engine.
+        raise NotImplementedError(
+            "lexical_form_py: FloatType goldens are not canonicalizable from "
+            "Python; use DoubleType (or compare through the engine column)."
+        )
+    if isinstance(spark_type, T.DoubleType):
+        return _java_double_str(float(value))
     if isinstance(spark_type, T.DecimalType):
         s = str(value) if isinstance(value, _Dec) else str(_Dec(str(value)))
         if "." in s:

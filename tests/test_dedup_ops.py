@@ -12,6 +12,7 @@ from p5_rdf_rdb2rdf_spark.ops.dedup import (
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    simhash_blocked_pairs,
     simhash_pairs,
 )
 
@@ -99,6 +100,55 @@ def test_ngram_jaccard_threshold(spark, planted):
     assert out[(1, 200)] == 1.0
     assert out[(0, 100)] > 0.8
     assert out[(0, 5)] < 0.2
+
+
+def test_simhash_opposite_sign_segment0(spark):
+    """Regression (ADVICE r1): pairs whose ONLY agreeing segment is segment 0
+    and whose simhashes have opposite signs must still share a bucket —
+    Spark `%` follows the dividend's sign, so the old extraction missed them.
+    max_hamming=3 -> 4 segments of 16 bits; y flips one bit in each of
+    segments 1..3 (incl. the sign bit 63)."""
+    x = 0xABCD  # bits only in segment 0; positive
+    y_u = x ^ (1 << 20) ^ (1 << 40) ^ (1 << 63)
+    y = y_u - (1 << 64)  # as signed long: negative
+    sh = spark.createDataFrame([(1, x), (2, y)], "doc_id long, simhash long")
+    pairs = simhash_blocked_pairs(sh, max_hamming=3)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert got == {(1, 2): 3}
+
+
+def test_lsh_bucket_cap_bounds_candidates(spark, planted):
+    """A planted mega-bucket (60 identical boilerplate docs) must not fan out
+    quadratically when max_bucket_size caps it; real near-dup pairs outside
+    the hot bucket survive."""
+    boiler = [(1000 + i, "the same boilerplate header text repeated") for i in range(60)]
+    df = planted.union(spark.createDataFrame(boiler, "doc_id long, text string"))
+    sigs = minhash_signatures(df, num_hashes=64, shingle_k=3)
+    capped = minhash_lsh_pairs(sigs, bands=16, threshold=0.5, max_bucket_size=20)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert not any(a >= 1000 for a, _ in got)  # hot bucket dropped entirely
+    assert (1, 200) in got and (0, 100) in got  # planted pairs still found
+    uncapped = minhash_lsh_pairs(sigs, bands=16, threshold=0.5, max_bucket_size=None)
+    n_boiler_pairs = uncapped.where("id_a >= 1000").count()
+    assert n_boiler_pairs == 60 * 59 // 2  # what the cap is protecting against
+
+    sim_capped = simhash_pairs(df, max_hamming=8, shingle_k=2, max_bucket_size=20)
+    sgot = {(r.id_a, r.id_b) for r in sim_capped.collect()}
+    assert not any(a >= 1000 for a, _ in sgot)
+    assert (1, 200) in sgot
+
+
+def test_embedding_neardup_auto_bucket_never_cartesian(spark):
+    """bucket_col=None must auto-bucket (hyperplane signs), not degrade to an
+    all-pairs cross join; a scaled copy (cosine 1.0) is always co-bucketed."""
+    rng = [(i, [float((i * 13 + d * 7) % 11 - 5) for d in range(8)]) for i in range(20)]
+    rows = rng + [(100, [2.0 * v for v in rng[0][1]])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = embedding_neardup_pairs(df, threshold=0.999, dim=8)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 100) in got
 
 
 def test_embedding_neardup(spark):

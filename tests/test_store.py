@@ -39,11 +39,23 @@ def test_dm_store_matches_materialized(spark, tables):
         {"s": f"{BASE}emp/empno=7369", "p": f"{BASE}emp#ename"},
         {"p": f"{BASE}books#in_print", "o": "true"},
         {"s": f"{BASE}authors/author_id=10", "o": "David"},
+        # bound-object pushdown paths (typed literal / decimal / date / fk IRI)
+        {"p": f"{BASE}emp#ename", "o": "SMITH"},
+        {"p": f"{BASE}books#price", "o": "12.5"},
+        {"p": f"{BASE}books#published", "o": "2015-02-01"},
+        {"p": f"{BASE}authors#born", "o": "1961-02-12T06:30:00"},
+        {"p": f"{BASE}emp#ref-deptno", "o": f"{BASE}dept/deptno=10"},
+        {"p": RDF_TYPE, "o": f"{BASE}dept"},
+        {"p": f"{BASE}emp#empno", "o": "not-an-int"},  # undecodable -> empty
+        {"p": f"{BASE}emp#ref-deptno", "o": f"{BASE}books/book_id=1"},  # wrong parent
     ]
     for pat in patterns:
         want = sorted(map(tuple, full.get_statements(**pat).collect()))
         got = sorted(map(tuple, lazy.get_statements(**pat).collect()))
         assert got == want, pat
+
+    # DM emits only the default graph: any bound g answers empty, lazily
+    assert lazy.get_statements(g="http://example.com/g1").count() == 0
 
 
 def test_dm_store_unknown_iris_empty(spark, tables):
@@ -60,3 +72,27 @@ def test_dm_store_bound_subject_prunes(spark, tables):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "book_id" in plan and ("= 1" in plan or "cast" in plan.lower())
     assert df.count() > 0
+
+
+def test_dm_store_bound_object_pushes_typed_filter(spark, tables, tmp_path):
+    """Bound (p, o) must become a TYPED source-column equality that reaches
+    the parquet scan as a pushed filter, with the scan pruned to the columns
+    that pattern needs (pk + ename) — the Spark analog of the reference's
+    targeted `WHERE col = ?` SQL for bound objects."""
+    path = str(tmp_path / "emp.parquet")
+    tables["emp"].write.parquet(path)
+    emp = spark.read.parquet(path)
+    lazy = DirectMappingStore(spark, {"emp": emp}, CONSTRAINTS, base=BASE)
+    df = lazy.get_statements(p=f"{BASE}emp#ename", o="SMITH")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "EqualTo(ename,SMITH)" in plan, plan
+    assert "ReadSchema" in plan and "job" not in plan.split("ReadSchema")[1], plan
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].s_value == f"{BASE}emp/empno=7369"
+    lazy = DirectMappingStore(spark, {"emp": tables["emp"]}, CONSTRAINTS, base=BASE)
+
+    # fk-object: decoded back into child fk-column equality, join-free
+    df2 = lazy.get_statements(p=f"{BASE}emp#ref-deptno", o=f"{BASE}dept/deptno=20")
+    assert [r.s_value for r in df2.collect()] == [f"{BASE}emp/empno=7499"]
+    plan2 = df2._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan2

@@ -13,10 +13,10 @@ from p5_rdf_rdb2rdf_spark.ops.text import (
     bpeish_token_count,
     fingerprint64,
     lang_id,
+    fingerprint64_chunks,
     quality_features,
     shingle_array,
     token_count,
-    _poly_hash,
 )
 
 SAMPLES = [
@@ -67,17 +67,46 @@ def test_lang_id(spark):
     assert got[3] == "und"  # no markers
 
 
-def test_fingerprint_matches_python_and_is_order_sensitive(spark):
+def test_fingerprint_deterministic_order_sensitive_and_jvm_only(spark):
     df = _df(spark, SAMPLES).select("doc_id", fingerprint64(F.col("text")).alias("fp"))
     got = {r.doc_id: r.fp for r in df.collect()}
-    import numpy as np
-
-    for i, t in enumerate(SAMPLES):
-        want = int(np.uint64(_poly_hash(t.encode())).astype(np.int64))
-        assert got[i] == want
+    # deterministic across partitioning (cluster-size independence)
+    re_got = {
+        r.doc_id: r.fp
+        for r in _df(spark, SAMPLES)
+        .repartition(7)
+        .select("doc_id", fingerprint64(F.col("text")).alias("fp"))
+        .collect()
+    }
+    assert got == re_got
+    # distinct docs -> distinct fingerprints on this sample; NULL == ""
+    assert len(set(got.values())) == len(SAMPLES)
+    null_fp = (
+        spark.createDataFrame([(0, None)], "doc_id int, text string")
+        .select(fingerprint64(F.col("text")).alias("fp"))
+        .head()
+        .fp
+    )
+    assert null_fp == got[2]  # SAMPLES[2] is ""
+    # order sensitivity
     df2 = _df(spark, ["ab c", "c ab"]).select(fingerprint64(F.col("text")).alias("fp"))
     a, b = [r.fp for r in df2.collect()]
     assert a != b
+    # the mandate: no Python eval node anywhere in the fingerprint plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan
+
+
+def test_fingerprint_chunks_localize_edits(spark):
+    base = " ".join(f"w{i}" for i in range(256))
+    edited = base.replace("w200", "EDIT")
+    df = _df(spark, [base, edited]).select(
+        "doc_id", fingerprint64_chunks(F.col("text"), chunk_tokens=64).alias("ch")
+    )
+    rows = {r.doc_id: r.ch for r in df.collect()}
+    assert len(rows[0]) == 4 and len(rows[1]) == 4
+    diffs = [i for i in range(4) if rows[0][i] != rows[1][i]]
+    assert diffs == [3]  # only the chunk containing token 200 changes
 
 
 def test_shingles(spark):
