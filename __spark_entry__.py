@@ -402,11 +402,40 @@ def kg_doc_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("kg_pipeline_synth")  # no SQL oracle: full staged pipeline w/ pandas UDFs + CC
+def _kg_synth_expected_sql(n_docs: int = 300) -> str:
+    """Closed-form per-predicate distinct-triple counts for the synthetic
+    corpus, as a DuckDB VALUES oracle (corpus.py's generators are pure
+    integer arithmetic, so the expectation is computable without running
+    the engine — see pipeline/corpus.py `expected_triples`)."""
+    from collections import Counter
+
+    from p5_rdf_rdb2rdf_spark.pipeline import corpus as C
+
+    cnt: Counter[str] = Counter()
+    for _s, pred, _o in C.expected_triples(n_docs):
+        cnt[pred] += 1
+    mentions = set()
+    for d in range(n_docs):
+        for i in range(C._n_spans(d)):
+            if C._is_text(d, i):
+                mentions.add((d, C._a_idx(d, i)))
+    cnt[C.KG + "mentions"] = len(mentions)
+    rows = ",\n      ".join(
+        f"('{p}', CAST({n} AS BIGINT))" for p, n in sorted(cnt.items())
+    )
+    return (
+        "SELECT p_value, n_triples FROM (VALUES\n      "
+        + rows
+        + "\n    ) AS t(p_value, n_triples) ORDER BY p_value"
+    )
+
+
+@_q("kg_pipeline_synth", _kg_synth_expected_sql(300))
 def kg_pipeline_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full KG pipeline (spans -> relations -> linking -> CC -> materialize)
-    on the deterministic synthetic interleaved corpus; correctness is
-    enforced exactly in tests/test_pipeline.py (P/R = 1.0 vs closed form)."""
+    on the deterministic synthetic interleaved corpus; the oracle is the
+    closed-form expected per-predicate count (P/R = 1.0 is also enforced
+    pairwise in tests/test_pipeline.py)."""
     import tempfile
 
     from p5_rdf_rdb2rdf_spark.pipeline.corpus import synth_corpus
@@ -526,15 +555,37 @@ def ann_threshold_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("ann_topk_bruteforce")  # rows-only: float rank ties not oracle-stable
+@_q(
+    "ann_topk_bruteforce",
+    """
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 9) AS cosine
+      FROM embeddings q, embeddings c
+      WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+    ), ranked AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5
+    """,
+)
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k; the engine rounds cosine to 9dp and tie-breaks by id
+    (similarity.py), so ranks are oracle-stable. The cosine value itself is
+    omitted from the output: cross-engine float SUMMATION can differ in the
+    last ulp, which 9dp rounding makes rank-stable but not always
+    string-identical."""
     from p5_rdf_rdb2rdf_spark.ops.similarity import cosine_topk
 
     emb = _load(spark, sf_dir, ["embeddings"])["embeddings"]
     queries_df = emb.where("vec_id < 10").select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return cosine_topk(emb, queries_df, k=5)
+    return cosine_topk(emb, queries_df, k=5).select("query_id", "vec_id", "rank")
 
 
 @_q("ann_lsh_topk")  # rows-only: approximate by design (recall tested in pytest)
@@ -548,21 +599,60 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries_df, k=5, n_planes=4, multiprobe=1)
 
 
-@_q("dedup_minhash_lsh")  # rows-only: xxhash64 signatures not DuckDB-reproducible
+# exact word-5-gram Jaccard over ALL pairs — the DuckDB twin of the engine's
+# candidate-generation + exact-verify two-stage. The engine only ever looks at
+# LSH/simhash candidates; the oracle brute-forces every pair, so a green row
+# proves candidate generation achieved full recall on the true near-dup set.
+_JACCARD_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+        CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+             ELSE list_transform(range(1, len(t) - 3),
+                                 i -> array_to_string(t[i:i+4], ' '))
+        END AS s
+      FROM toks
+    ), d AS (SELECT doc_id, list_distinct(s) AS s FROM sh)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))), 9) AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+"""
+
+
+@_q("dedup_minhash_lsh", _JACCARD_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from p5_rdf_rdb2rdf_spark.ops.dedup import minhash_lsh_pairs, minhash_signatures
+    """MinHash-LSH candidates (64 hashes x 32 bands: miss prob for a J>=0.8
+    pair is (1-J^2)^32 < 1e-13) -> exact shingle-Jaccard verification >= 0.8.
+    The verified output is deterministic and engine-independent, so the
+    brute-force DuckDB oracle checks it exactly — including recall."""
+    from p5_rdf_rdb2rdf_spark.ops.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
 
     docs = _load(spark, sf_dir, ["documents"])["documents"]
-    sigs = minhash_signatures(docs, num_hashes=32, shingle_k=5)
-    return minhash_lsh_pairs(sigs, bands=8, threshold=0.7, num_hashes=32)
+    sigs = minhash_signatures(docs, num_hashes=64, shingle_k=5)
+    cand = minhash_lsh_pairs(sigs, bands=32, threshold=0.0, num_hashes=64)
+    ver = ngram_jaccard_pairs(docs, cand.select("id_a", "id_b"), shingle_k=5, threshold=0.8)
+    return ver.select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
 
 
-@_q("dedup_simhash")  # rows-only: xxhash64-based
+@_q("dedup_simhash", _JACCARD_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from p5_rdf_rdb2rdf_spark.ops.dedup import simhash_pairs
+    """SimHash pigeonhole candidates (max_hamming=12 gives ample margin: the
+    sf0.01 true near-dup pairs all sit at hamming <= 9) -> exact Jaccard
+    verification >= 0.8, checked against the same brute-force oracle."""
+    from p5_rdf_rdb2rdf_spark.ops.dedup import ngram_jaccard_pairs, simhash_pairs
 
     docs = _load(spark, sf_dir, ["documents"])["documents"]
-    return simhash_pairs(docs, max_hamming=3, shingle_k=2)
+    cand = simhash_pairs(docs, max_hamming=12, shingle_k=2)
+    ver = ngram_jaccard_pairs(docs, cand.select("id_a", "id_b"), shingle_k=5, threshold=0.8)
+    return ver.select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
 
 
 @_q("text_fingerprints")  # rows-only: engine-defined hash (pytest checks vs python)

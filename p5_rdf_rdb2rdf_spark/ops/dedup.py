@@ -76,13 +76,22 @@ def minhash_signatures(
     # permutation family here: with 32-bit x the product wraps at most once,
     # so most "permutations" preserve base-hash order and all collapse onto
     # the same min — found the hard way, see tests/test_dedup_ops.py.)
+    #
+    # The seed MUST be injected via a single-arg closure factory: a lambda
+    # with a second parameter (even a defaulted `i=i`) is read by PySpark as
+    # an (element, index) higher-order lambda, silently binding the seed to
+    # the ARRAY INDEX column — every family becomes the same function and
+    # signature agreement degenerates to all-or-nothing (caught in round 2
+    # when a Jaccard-0.97 pair showed 0/64 agreement; regression below).
     sig = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+        *[F.array_min(F.transform(sh, _seeded_hash(i))) for i in range(num_hashes)]
     )
     return df.select(F.col(id_col), sig.alias("sig"))
+
+
+def _seeded_hash(i: int):
+    """Single-arg lambda factory for seed injection (see comment above)."""
+    return lambda s: F.xxhash64(s, F.lit(i))
 
 
 def _cap_buckets(banded: DataFrame, keys: list[str], max_bucket_size: int | None) -> DataFrame:

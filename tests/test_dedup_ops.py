@@ -102,6 +102,23 @@ def test_ngram_jaccard_threshold(spark, planted):
     assert out[(0, 5)] < 0.2
 
 
+def test_minhash_families_are_independent(spark):
+    """Regression: the 64 signature slots must be DIFFERENT hash functions.
+    With the (element, index) lambda trap the seed binds to the array index,
+    every slot computes the same min, and a prefix-extended near-copy whose
+    argmin shingle is the new suffix shows 0/64 agreement. A valid family
+    agrees on ~J of the slots."""
+    base = _doc(7, 40)
+    ext = base + " zulu yankee xray whiskey victor"
+    df = spark.createDataFrame([(1, base), (2, ext)], "doc_id long, text string")
+    sigs = {r.doc_id: r.sig for r in minhash_signatures(df, num_hashes=64, shingle_k=5).collect()}
+    # slots are distinct functions: a single doc's signature is not constant
+    assert len(set(sigs[1])) > 32
+    agree = sum(1 for x, y in zip(sigs[1], sigs[2]) if x == y)
+    # true J ~ 36/41 ~ 0.88; binomial(64, .88) is >40 agreements essentially surely
+    assert agree > 40, f"agreement {agree}/64 — hash families are not independent"
+
+
 def test_simhash_opposite_sign_segment0(spark):
     """Regression (ADVICE r1): pairs whose ONLY agreeing segment is segment 0
     and whose simhashes have opposite signs must still share a bucket —
