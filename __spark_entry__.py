@@ -755,6 +755,100 @@ def store_bound_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select("s_value", "o_value")
 
 
+# --- W3C conformance-style cases through the driver contract ----------------
+# (tests/test_w3c_cases.py holds the full spec corpus; these three expose the
+# composite-PK, IRI-encoding, language-tag and named-graph constructs to the
+# DuckDB oracle at sf0.01.)
+
+
+@_q(
+    "w3c_dm_composite_pk",
+    f"""
+    SELECT DISTINCT
+           '{BASE}lineitem/l_orderkey=' || CAST(l_orderkey AS VARCHAR)
+             || ';l_linenumber=' || CAST(l_linenumber AS VARCHAR) AS s_value,
+           '{BASE}lineitem#l_linenumber' AS p_value,
+           CAST(l_linenumber AS VARCHAR) AS o_value
+    FROM lineitem
+    """,
+)
+def w3c_dm_composite_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DirectGraphTC0008-style composite primary key at TPC-H scale: the
+    lineitem row node is <lineitem/l_orderkey=..;l_linenumber=..>."""
+    from p5_rdf_rdb2rdf_spark.direct_mapping import direct_map
+
+    tables = _load(spark, sf_dir, ["lineitem"])
+    t = direct_map(spark, {"lineitem": tables["lineitem"]}, TPCH_CONSTRAINTS,
+                   base=BASE, only=["lineitem"])
+    return t.where(F.col("p_value") == f"{BASE}lineitem#l_linenumber").select(
+        "s_value", "p_value", "o_value"
+    )
+
+
+_R2RML_W3C_ENC = """
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix ex: <http://example.org/tpch#> .
+<#Cust>
+  rr:logicalTable [ rr:tableName "customer" ; rr:sqlVersion rr:SQL2008 ] ;
+  rr:subjectMap [ rr:template "http://example.org/c/{c_name}" ] ;
+  rr:predicateObjectMap [ rr:predicate ex:balance ;
+    rr:objectMap [ rr:template "bal-{c_custkey}" ; rr:termType rr:Literal ] ] .
+"""
+
+
+@_q(
+    "w3c_r2rml_template_encoding",
+    """
+    SELECT 'http://example.org/c/' || replace(c_name, '#', '%23') AS s_value,
+           'bal-' || CAST(c_custkey AS VARCHAR) AS o_value
+    FROM customer
+    """,
+)
+def w3c_r2rml_template_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2RMLTC0010b-style IRI-safe template encoding ('#' -> %23 in c_name)
+    plus rr:sqlVersion accept-and-ignore and a template-valued Literal."""
+    from p5_rdf_rdb2rdf_spark.compiler import compile_mapping
+    from p5_rdf_rdb2rdf_spark.r2rml import r2rml_to_ir
+
+    _load(spark, sf_dir, ["customer"])
+    t = compile_mapping(spark, r2rml_to_ir(_R2RML_W3C_ENC))
+    return t.select("s_value", "o_value")
+
+
+_R2RML_W3C_LANG_GRAPH = """
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix ex: <http://example.org/tpch#> .
+<#Nation>
+  rr:logicalTable [ rr:tableName "nation" ] ;
+  rr:subjectMap [ rr:template "http://example.org/nation/{n_nationkey}" ;
+                  rr:graphMap [ rr:template "http://example.org/g/{n_regionkey}" ] ] ;
+  rr:predicateObjectMap [ rr:predicate ex:name ;
+    rr:objectMap [ rr:column "n_name" ; rr:language "en" ] ] .
+"""
+
+
+@_q(
+    "w3c_r2rml_language_and_graph",
+    """
+    SELECT 'http://example.org/nation/' || CAST(n_nationkey AS VARCHAR) AS s_value,
+           n_name AS o_value,
+           'en' AS o_lang,
+           'http://example.org/g/' || CAST(n_regionkey AS VARCHAR) AS g_value
+    FROM nation
+    WHERE n_name IS NOT NULL AND n_regionkey IS NOT NULL
+    """,
+)
+def w3c_r2rml_language_and_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2RMLTC0012a language tags + template-valued named graphs (quads)
+    through the driver contract."""
+    from p5_rdf_rdb2rdf_spark.compiler import compile_mapping
+    from p5_rdf_rdb2rdf_spark.r2rml import r2rml_to_ir
+
+    _load(spark, sf_dir, ["nation"])
+    t = compile_mapping(spark, r2rml_to_ir(_R2RML_W3C_LANG_GRAPH))
+    return t.select("s_value", "o_value", "o_lang", "g_value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -135,6 +135,13 @@ def r2rml_to_ir(turtle_text: str, base: str = "") -> Mapping:
         if not subj_maps:
             raise ValueError(f"triples map {name} has no subject map")
         tm.subject = subj_maps[0]
+        # R2RML §7.4: a subject map's term type must be rr:IRI or
+        # rr:BlankNode; literal subjects make the document invalid
+        # (W3C R2RMLTC0004b expects an error here).
+        if tm.subject.term_type == KIND_LITERAL:
+            raise ValueError(
+                f"triples map {name}: subject map may not produce literals (R2RML §7.4)"
+            )
 
         # rr:class + graph maps live on the subject map node
         for sm_node in g.objects(node, RR + "subjectMap"):
