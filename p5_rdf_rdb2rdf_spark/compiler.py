@@ -129,6 +129,24 @@ def compile_term(tm: TermMap, schema: T.StructType, colmap: dict[str, str] | Non
             return TermExprs(F.lit(KIND_LITERAL), value.cast("string"), dt, lang, guards)
         return TermExprs(F.lit(tm.term_type), value.cast("string"), _null(), _null(), guards)
 
+    if tm.kind == "callable":
+        # SURVEY.md O35 — Simple.pm coderef terms. The callable runs as an
+        # Arrow-vectorized pandas UDF over the named input columns (one
+        # pandas.Series per column -> Series of lexical values); never
+        # per-row Python. NULL result rows are suppressed like any term.
+        fn = tm.fn
+        if fn is None:
+            raise CompileError("callable term map has no fn")
+        udf = F.pandas_udf(lambda *cols: fn(*cols).astype("string"), T.StringType())
+        cols = [F.col(_resolve(c, colmap)) for c in tm.fn_columns]
+        value = udf(*cols)
+        guards = [value.isNotNull()] + extra_guards
+        if tm.term_type == KIND_LITERAL:
+            dt = F.lit(tm.datatype) if tm.datatype else _null()
+            lang = F.lit(tm.language) if tm.language else _null()
+            return TermExprs(F.lit(KIND_LITERAL), value, dt, lang, guards)
+        return TermExprs(F.lit(tm.term_type), value, _null(), _null(), guards)
+
     if tm.kind == "template":
         parts = parse_template(tm.template)
         exprs: list[Column] = []

@@ -33,7 +33,7 @@ class TermMap:
     object from template/constant IRI: IRI).
     """
 
-    kind: str  # 'template' | 'column' | 'constant' | 'expr'
+    kind: str  # 'template' | 'column' | 'constant' | 'expr' | 'callable'
     template: str | None = None
     column: str | None = None
     constant_value: str | None = None
@@ -43,6 +43,11 @@ class TermMap:
     language: str | None = None  # rr:language
     expr: str | None = None  # SQL expression (kind='expr')
     guard_columns: list[str] = field(default_factory=list)  # null guards for 'expr'
+    # kind='callable' (SURVEY.md O35 — Simple.pm coderef terms): a Python
+    # callable (pandas.Series per input column) -> pandas.Series, executed
+    # as an Arrow-vectorized pandas UDF (never per-row Python)
+    fn: Any = None
+    fn_columns: list[str] = field(default_factory=list)
 
     @staticmethod
     def iri_constant(iri: str) -> "TermMap":
@@ -108,6 +113,18 @@ class Mapping:
 
     # ---- JSON round trip (O37) ----
     def to_json(self, **kw: Any) -> str:
+        for tm in self.triples_maps.values():
+            terms = [tm.subject, *tm.graphs]
+            for pom in tm.poms:
+                terms += pom.predicates + [o for o in pom.objects if isinstance(o, TermMap)]
+                terms += pom.graphs
+            if any(t is not None and t.kind == "callable" for t in terms):
+                # reference parity: Simple.pm coderef terms don't JSON
+                # round-trip either — fail loudly instead of emitting junk
+                raise ValueError(
+                    f"mapping {tm.name!r} contains callable term maps; "
+                    "callables are not JSON-serializable (O35/O37)"
+                )
         return json.dumps(asdict(self), **kw)
 
     @staticmethod

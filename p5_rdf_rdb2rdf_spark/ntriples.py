@@ -58,6 +58,14 @@ def ntriples_lines(triples: DataFrame) -> DataFrame:
     return triples.select(line.alias("line"))
 
 
-def to_ntriples(triples: DataFrame) -> list[str]:
-    """Driver-side sorted canonical N-Triples (tests/goldens only — collects)."""
-    return sorted(r.line for r in ntriples_lines(triples).collect())
+def to_ntriples(triples: DataFrame, max_triples: int = 1_000_000) -> list[str]:
+    """Driver-side sorted canonical N-Triples (tests/goldens only — collects;
+    the cap guards against pointing this at a full-scale graph — use
+    :func:`ntriples_lines` + a distributed write for those)."""
+    rows = ntriples_lines(triples).limit(max_triples + 1).collect()
+    if len(rows) > max_triples:
+        raise ValueError(
+            f"to_ntriples: graph exceeds max_triples={max_triples}; write "
+            "ntriples_lines(df) distributed instead (or raise max_triples)"
+        )
+    return sorted(r.line for r in rows)

@@ -83,15 +83,22 @@ def minhash_signatures(
     # the ARRAY INDEX column — every family becomes the same function and
     # signature agreement degenerates to all-or-nothing (caught in round 2
     # when a Jaccard-0.97 pair showed 0/64 agreement; regression below).
-    sig = F.array(
-        *[F.array_min(F.transform(sh, _seeded_hash(i))) for i in range(num_hashes)]
+    #
+    # Two-level hashing, single pass: the (expensive) string hash runs ONCE
+    # per shingle; one aggregate fold then updates all H mins per base hash
+    # via zip_with against a literal seed array — xxhash64(h, seed_i) is an
+    # independent family over the 64-bit base (h_i = f_i ∘ g with g
+    # effectively injective; 2^-64 base collisions). H separate
+    # array_min(transform(...)) expressions compute the same thing but
+    # blow up whole-stage codegen ~30x slower (measured round 2).
+    base = F.transform(sh, lambda s: F.xxhash64(s))
+    seeds = F.lit(list(range(num_hashes)))
+    sig = F.aggregate(
+        base,
+        F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes),
+        lambda acc, h: F.zip_with(acc, seeds, lambda a, i: F.least(a, F.xxhash64(h, i))),
     )
     return df.select(F.col(id_col), sig.alias("sig"))
-
-
-def _seeded_hash(i: int):
-    """Single-arg lambda factory for seed injection (see comment above)."""
-    return lambda s: F.xxhash64(s, F.lit(i))
 
 
 def _cap_buckets(banded: DataFrame, keys: list[str], max_bucket_size: int | None) -> DataFrame:

@@ -1,13 +1,18 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The image/audio decode libraries are NOT in this container, so the decode
-kernels are STUBBED: ``decode_image``/``decode_audio`` raise
-``NotImplementedError`` when asked for real decoding and otherwise produce a
-**deterministic fake** derived from the payload bytes. The Spark-side
-plumbing — schema, partitioning, ``mapInPandas`` batch shape, Arrow transfer
-of binary columns — is real and tested; swapping in PIL/librosa changes only
-the marked kernel functions.
+Decode depth is honest about what this container can do:
+
+- CONTAINER HEADERS ARE PARSED FOR REAL — PNG IHDR (width/height/channels),
+  RIFF/WAVE fmt (rate/channels/bits/samples), MP4 ftyp recognition — pure
+  struct reads, no codec library needed.
+- PIXEL/SAMPLE decoding needs PIL/librosa/pyav (absent here), so payloads in
+  other formats fall back to a **deterministic fake** derived from the
+  payload bytes; swapping in the real codecs changes only the marked
+  ``_decode_*_kernel`` functions.
+
+The Spark-side plumbing — schema, partitioning, ``mapInPandas`` batch shape,
+Arrow transfer of binary columns — is real and tested either way.
 """
 
 from __future__ import annotations
@@ -67,22 +72,27 @@ IMAGE_META_SCHEMA = T.StructType(
 )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> channel count (spec: greyscale, RGB, palette, grey+A, RGBA)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
 def _decode_image_kernel(payload: bytes) -> tuple[int, int, int, str]:
-    """STUB decode kernel — deterministic fake metadata from the payload.
+    """Image metadata kernel.
 
-    Real implementation (requires PIL, not in this container):
+    PNG payloads are decoded FOR REAL — width/height/channels come straight
+    out of the IHDR chunk (16 bytes of struct reads, no codec library
+    needed). Other formats fall back to a deterministic fake derived from
+    the payload bytes (full pixel decode requires PIL, absent from this
+    container; swapping it in changes only this function)."""
+    import struct
 
-        from PIL import Image; img = Image.open(io.BytesIO(payload))
-        return img.width, img.height, len(img.getbands()), img.format
-    """
-    try:
-        import PIL  # noqa: F401
-
-        raise NotImplementedError("real image decode not wired yet")
-    except ImportError:
-        pass
+    if payload[:8] == _PNG_SIG and len(payload) >= 26 and payload[12:16] == b"IHDR":
+        width, height = struct.unpack(">II", payload[16:24])
+        color_type = payload[25]
+        return width, height, _PNG_CHANNELS.get(color_type, 0), "png"
     h = hashlib.sha256(payload).digest()
-    return 64 + h[1] * 8, 64 + h[2] * 8, 1 + h[3] % 4, ["png", "jpeg", "webp"][h[4] % 3]
+    return 64 + h[1] * 8, 64 + h[2] * 8, 1 + h[3] % 4, ["jpeg", "webp", "gif"][h[4] % 3]
 
 
 def decode_images(media: DataFrame) -> DataFrame:
@@ -100,6 +110,89 @@ def decode_images(media: DataFrame) -> DataFrame:
 
     return media.where(F.col("kind") == "image").select("media_ref", "payload").mapInPandas(
         run, schema=IMAGE_META_SCHEMA
+    )
+
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+
+def _decode_audio_kernel(payload: bytes) -> tuple[int, int, int, int, str]:
+    """Audio metadata kernel — RIFF/WAVE headers parsed FOR REAL (fmt chunk
+    struct reads, no codec library); other containers fall back to a
+    deterministic fake (real decode needs librosa/soundfile, absent here)."""
+    import struct
+
+    if (
+        len(payload) >= 44
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WAVE"
+        and payload[12:16] == b"fmt "
+    ):
+        channels, sample_rate = struct.unpack("<HI", payload[22:28])
+        bits = struct.unpack("<H", payload[34:36])[0]
+        data_bytes = max(len(payload) - 44, 0)
+        frame = max((bits // 8) * channels, 1)
+        return sample_rate, channels, bits, data_bytes // frame, "wav"
+    h = hashlib.sha256(payload).digest()
+    return (
+        [8000, 16000, 44100][h[0] % 3],
+        1 + h[1] % 2,
+        [8, 16, 24][h[2] % 3],
+        256 + h[3] * 64,
+        ["mp3", "ogg", "flac"][h[4] % 3],
+    )
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """binary payloads -> typed audio metadata via mapInPandas (same Arrow
+    batch shape as :func:`decode_images`; parity per VERDICT r1 #9)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            metas = [_decode_audio_kernel(p) for p in pdf["payload"]]
+            arr = pd.DataFrame(
+                metas,
+                columns=["sample_rate", "channels", "bits_per_sample", "n_samples", "format"],
+            )
+            arr.insert(0, "media_ref", pdf["media_ref"].to_numpy())
+            yield arr
+
+    return media.where(F.col("kind") == "audio").select("media_ref", "payload").mapInPandas(
+        run, schema=AUDIO_META_SCHEMA
+    )
+
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("container", T.StringType()),
+        T.StructField("n_frames_est", T.IntegerType()),
+    ]
+)
+
+
+def probe_video(media: DataFrame, bytes_per_frame_est: int = 512) -> DataFrame:
+    """Video container probe: MP4 payloads (ftyp box at offset 4) are
+    recognized FOR REAL; frame-count is a size-based estimate either way
+    (true frame counts need pyav, absent here). JVM-only expressions."""
+    is_mp4 = F.substring(F.col("payload").cast("string"), 5, 4) == "ftyp"
+    return media.where(F.col("kind") == "video").select(
+        "media_ref",
+        F.when(is_mp4, F.lit("mp4")).otherwise(F.lit("unknown")).alias("container"),
+        F.greatest(
+            (F.length("payload") / bytes_per_frame_est).cast("int"), F.lit(1)
+        ).alias("n_frames_est"),
     )
 
 

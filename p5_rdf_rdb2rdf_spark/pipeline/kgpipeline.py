@@ -61,12 +61,16 @@ class _NullCheckpointer:
         self._lineage: dict = {"stages": {}}
 
     def run_stage(self, stage, fn, inputs=None, meta=None, force=False):
+        import time
+
+        t0 = time.time()
         df = fn().persist()
         rows = df.count()  # materialize now; later stages reuse the cache
         self._lineage["stages"][stage] = {
             "inputs": inputs or [],
             "meta": meta or {},
             "rows": rows,
+            "wall_sec": round(time.time() - t0, 2),
         }
         return df
 

@@ -26,7 +26,12 @@ def get_spark(
     cores_env = os.environ.get("SPARK_GRAFT_CPUS")
     if cores is None and cores_env:
         cores = int(cores_env)
-    master = f"local[{cores}]" if cores else "local[*]"
+    # SPARK_GRAFT_MASTER overrides the master URL entirely — used by the
+    # scaling bench to run under local-cluster[N,C,M] (separate executor
+    # JVMs: the sandbox topology that actually matches 'N vs 4N executors')
+    master = os.environ.get("SPARK_GRAFT_MASTER") or (
+        f"local[{cores}]" if cores else "local[*]"
+    )
     if shuffle_partitions is None:
         shuffle_partitions = cores if cores else (os.cpu_count() or 8)
 
@@ -40,6 +45,7 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.executor.memory", os.environ.get("SPARK_EXECUTOR_MEM", "4g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

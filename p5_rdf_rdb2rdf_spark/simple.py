@@ -24,6 +24,10 @@ once /root/reference is populated):
               overridden by `datatype`/`lang`)
   rel      => IRI object from the `resource` template (FK-style link)
   rev      => inverse direction: (resource-IRI, predicate, subject)
+  callable => dynamic literal: a Python callable (pandas.Series per input
+              column -> Series), the Spark re-expression of Simple.pm's
+              coderef terms (O35); runs as an Arrow-vectorized pandas UDF.
+              `columns` names its inputs (default: the spec's own column).
 Relative subject/resource templates resolve against the mapping base (O22).
 CURIEs expand through `namespaces` + common defaults (O34).
 
@@ -97,13 +101,25 @@ def simple_to_ir(doc: dict[str, Any] | str, base: str = "") -> Mapping:
                     s = {"property": s}
                 if "property" in s:
                     pred = TermMap.iri_constant(curie(s["property"]))
-                    obj = TermMap(
-                        kind="column",
-                        column=col,
-                        term_type=KIND_LITERAL,
-                        datatype=curie(s["datatype"]) if s.get("datatype") else None,
-                        language=s.get("lang"),
-                    )
+                    if callable(s.get("callable")):
+                        # O35: Simple.pm coderef term — dynamic literal
+                        # computed from row data, vectorized (Arrow batches)
+                        obj = TermMap(
+                            kind="callable",
+                            fn=s["callable"],
+                            fn_columns=list(s.get("columns", [col])),
+                            term_type=KIND_LITERAL,
+                            datatype=curie(s["datatype"]) if s.get("datatype") else None,
+                            language=s.get("lang"),
+                        )
+                    else:
+                        obj = TermMap(
+                            kind="column",
+                            column=col,
+                            term_type=KIND_LITERAL,
+                            datatype=curie(s["datatype"]) if s.get("datatype") else None,
+                            language=s.get("lang"),
+                        )
                     tm.poms.append(PredicateObjectMap(predicates=[pred], objects=[obj]))
                 elif "rel" in s or "rev" in s:
                     res = s.get("resource", "{%s}" % col)
@@ -155,6 +171,8 @@ def _subject_as_object(subject: TermMap) -> TermMap:
         term_type=subject.term_type,
         expr=subject.expr,
         guard_columns=list(subject.guard_columns),
+        fn=subject.fn,
+        fn_columns=list(subject.fn_columns),
     )
 
 

@@ -41,12 +41,26 @@ def _fmt_term(kind: str, value: str, datatype: str | None, lang: str | None, ns:
     return lit
 
 
-def to_turtle(triples: DataFrame, namespaces: dict[str, str] | None = None) -> str:
-    """Collect + pretty-print as Turtle, grouping by subject (driver-side)."""
+def to_turtle(
+    triples: DataFrame,
+    namespaces: dict[str, str] | None = None,
+    max_triples: int = 1_000_000,
+) -> str:
+    """Collect + pretty-print as Turtle, grouping by subject (driver-side).
+
+    ``max_triples`` guards the collect: this writer is for mapping-document-
+    scale graphs; pointing it at a billion-triple graph would OOM the driver.
+    Raise the cap explicitly if you really mean it, or use the distributed
+    ``ntriples_lines`` writer for big graphs."""
     ns = {"rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
           "xsd": "http://www.w3.org/2001/XMLSchema#"}
     ns.update(namespaces or {})
-    rows = triples.collect()
+    rows = triples.limit(max_triples + 1).collect()
+    if len(rows) > max_triples:
+        raise ValueError(
+            f"to_turtle: graph exceeds max_triples={max_triples}; use the "
+            "distributed ntriples_lines writer (or raise max_triples)"
+        )
     by_subject: dict[tuple[str, str], list] = {}
     for r in rows:
         by_subject.setdefault((r.s_kind, r.s_value), []).append(r)

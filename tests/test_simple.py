@@ -131,3 +131,42 @@ def test_ir_json_roundtrip(spark, tables):
     t1 = sorted(map(tuple, compile_mapping(spark, ir, tables=tables).collect()))
     t2 = sorted(map(tuple, compile_mapping(spark, ir2, tables=tables).collect()))
     assert t1 == t2
+
+
+def test_simple_callable_term_vectorized(spark, tables):
+    """O35: Simple.pm coderef terms — a Python callable computes a dynamic
+    literal, executed as an Arrow-vectorized pandas UDF (never per-row
+    Python), and such mappings refuse JSON serialization (like Perl
+    coderefs)."""
+    import pytest
+
+    def initials(fore, sur):
+        return (fore.str[:1] + "." + sur.str[:1] + ".").str.upper()
+
+    doc = {
+        "mappings": {
+            "authors": {
+                "from": "authors",
+                "about": "author/{author_id}",
+                "columns": {
+                    "forename": [
+                        {
+                            "property": "ex:initials",
+                            "callable": initials,
+                            "columns": ["forename", "surname"],
+                        }
+                    ],
+                },
+            }
+        },
+        "namespaces": {"ex": "http://example.com/ns#"},
+    }
+    ir = simple_to_ir(doc, base=BASE)
+    df = compile_mapping(spark, ir, tables=tables)
+    got = {(r.s_value, r.o_value) for r in df.collect()}
+    assert (f"{BASE}author/10", "D.G.") in got
+    assert (f"{BASE}author/11", "Å.N.") in got
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan, plan
+    with pytest.raises(ValueError, match="callable"):
+        ir.to_json()
