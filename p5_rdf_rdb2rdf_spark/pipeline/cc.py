@@ -26,11 +26,54 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
-    """-> (node, component) where component = min node id in the component."""
+    """-> (node, component) where component = min node id in the component.
+
+    Graphs at or below ``driver_threshold`` edges take a driver-side
+    union-find fast path: the entity-link graph is |surfaces|+|entities|
+    sized — corpus-size-INVARIANT — so even a 10^12-doc run usually has a
+    tiny graph here, and the iterative path's ~10 Spark jobs of pure
+    scheduling latency dominate end-to-end pipeline time (measured in
+    BENCH/BASELINE.md round-2 stage profile). Both paths produce identical
+    (node, min-member) output; the distributed path remains for genuinely
+    large graphs (set ``driver_threshold=0`` to force it).
+    """
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
+    spark = edges.sparkSession
+
+    if driver_threshold > 0:
+        sample = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).limit(
+            driver_threshold + 1
+        ).collect()
+        if len(sample) <= driver_threshold:
+            parent: dict[str, str] = {}
+
+            def find(x: str) -> str:
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for row in sample:
+                for n in (row.u, row.v):
+                    if n not in parent:
+                        parent[n] = n
+                ru, rv = find(row.u), find(row.v)
+                if ru != rv:
+                    parent[ru] = rv
+            comp_min: dict[str, str] = {}
+            for n in parent:
+                r = find(n)
+                if r not in comp_min or n < comp_min[r]:
+                    comp_min[r] = n
+            rows = [(n, comp_min[find(n)]) for n in sorted(parent)]
+            return spark.createDataFrame(rows, "node string, component string")
+
     nodes = sym.select(F.col("u").alias("node")).distinct()
     labels = nodes.withColumn("component", F.col("node")).localCheckpoint()
     # right-size the iteration: per-round shuffle overhead dominates on small

@@ -133,3 +133,29 @@ def test_cc_chain_converges(spark):
     )
     comps = connected_components(edges)
     assert comps.select("component").distinct().count() == 1
+
+
+def test_cc_driver_and_distributed_paths_identical(spark):
+    """The small-graph union-find fast path and the iterative distributed
+    path must produce identical (node, component) output on the same graph,
+    including min-label choice across multi-component graphs."""
+    from p5_rdf_rdb2rdf_spark.pipeline.cc import connected_components
+
+    # pseudo-random multi-component graph, deterministic
+    edges = [(f"n{(i * 7) % 40:03d}", f"n{(i * 11 + 3) % 40:03d}") for i in range(25)]
+    edges += [("z:solo_a", "z:solo_b"), ("a:min", "z:big")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    fast = sorted(map(tuple, connected_components(df).collect()))
+    dist = sorted(map(tuple, connected_components(df, driver_threshold=0).collect()))
+    assert fast == dist and fast
+
+
+def test_cc_chain_distributed_path(spark):
+    """Chain convergence on the distributed path specifically."""
+    from p5_rdf_rdb2rdf_spark.pipeline.cc import connected_components
+
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i+1:03d}") for i in range(30)], "src string, dst string"
+    )
+    comps = connected_components(edges, driver_threshold=0)
+    assert comps.select("component").distinct().count() == 1
