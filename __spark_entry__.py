@@ -588,6 +588,41 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries_df, k=5).select("query_id", "vec_id", "rank")
 
 
+@_q(
+    "ann_ivf_topk",
+    """
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 9) AS cosine
+      FROM embeddings q, embeddings c
+      WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+    ), ranked AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer search with nprobe = nlist (exhaustive probing
+    degrades to exact brute force — proving the build/assign/probe/rerank
+    machinery end-to-end against the oracle; the narrow-probe recall path is
+    covered in tests/test_similarity.py)."""
+    from p5_rdf_rdb2rdf_spark.ops.similarity import ivf_build, ivf_topk
+
+    emb = _load(spark, sf_dir, ["embeddings"])["embeddings"]
+    queries_df = emb.where("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = ivf_build(emb, nlist=8, iters=2)
+    return ivf_topk(emb, queries_df, cents, k=5, nprobe=8).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
 @_q("ann_lsh_topk")  # rows-only: approximate by design (recall tested in pytest)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from p5_rdf_rdb2rdf_spark.ops.similarity import lsh_topk

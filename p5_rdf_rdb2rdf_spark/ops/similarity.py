@@ -158,6 +158,117 @@ def lsh_topk(
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file) coarse quantizer — the second scale path named by the
+# mandate ("an IVF or LSH-bucketed variant"). Centroids are tiny (nlist x
+# dim) and live on the driver/in closures; the corpus is scanned once per
+# build iteration and once at query time, always bucket-joined — never
+# all-pairs.
+
+
+def ivf_build(
+    corpus: DataFrame,
+    nlist: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """K-means coarse quantizer on the unit sphere (spherical k-means lite).
+
+    Deterministic init: the ``nlist`` corpus vectors with the smallest ids.
+    Each Lloyd iteration = one corpus scan (numpy argmax inside mapInPandas)
+    + one groupBy-avg; centroids are rounded to 6dp after collect so the
+    assignment step sees identical values across runs (float sum order in
+    the avg is otherwise non-deterministic)."""
+    base = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v"))
+    seed = base.orderBy("__id").limit(nlist).collect()
+    cents = _normalize_rows(np.array([r["__v"] for r in seed], dtype=np.float64))
+    for _ in range(iters):
+        assigned = base.withColumn("__cid", _ivf_assign_udf(cents)(F.col("__v")))
+        agg = (
+            assigned.select("__cid", F.posexplode("__v").alias("__pos", "__x"))
+            .groupBy("__cid", "__pos")
+            .agg(F.avg("__x").alias("__m"))
+            .collect()
+        )
+        new = cents.copy()
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in agg:
+            by_cid.setdefault(r["__cid"], {})[r["__pos"]] = r["__m"]
+        for cid, comps in by_cid.items():
+            new[cid] = [comps[i] for i in range(len(comps))]
+        cents = np.round(_normalize_rows(np.array(new, dtype=np.float64)), 6)
+    return cents.tolist()
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.where(n == 0, 1, n)
+
+
+def _ivf_assign_udf(centroids: np.ndarray | list):
+    """pandas UDF: vector -> nearest-centroid id (cosine), numpy matmul per
+    Arrow batch; the (nlist x dim) centroid matrix ships in the closure."""
+    cmat = _normalize_rows(np.array(centroids, dtype=np.float64))
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+        mat = _normalize_rows(mat)
+        return pd.Series(np.argmax(mat @ cmat.T, axis=1).astype(np.int32), index=vecs.index)
+
+    return assign
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF search: corpus rows live in their nearest-centroid bucket; each
+    query probes its ``nprobe`` nearest centroids and exact-reranks inside
+    those buckets only. ``nprobe = nlist`` degrades gracefully to exact
+    brute force (used by the oracle check); small ``nprobe`` is the 100 TB
+    path — candidate volume ~ nprobe/nlist of the corpus."""
+    cmat = _normalize_rows(np.array(centroids, dtype=np.float64))
+    assign = _ivf_assign_udf(cmat)
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        assign(F.col(vec_col).cast("array<double>")).alias("bucket"),
+    )
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probes(vecs: pd.Series) -> pd.Series:
+        mat = _normalize_rows(np.vstack(vecs.to_numpy()).astype(np.float64))
+        sims = mat @ cmat.T
+        top = np.argsort(-sims, axis=1)[:, : min(nprobe, cmat.shape[0])].astype(np.int32)
+        return pd.Series(list(top), index=vecs.index)
+
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        F.explode(probes(F.col(vec_col).cast("array<double>"))).alias("bucket"),
+    )
+    j = c.join(F.broadcast(q), "bucket")
+    scored = j.select(
+        query_id_col,
+        id_col,
+        F.round(cosine_expr(F.col("qv"), F.col("v")), 9).alias("cosine"),
+    ).where(F.col(query_id_col) != F.col(id_col))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # BLAS variant for long vectors
 
 

@@ -79,3 +79,39 @@ def test_lsh_recall_reasonable(spark, emb):
     b1 = emb.select(hyperplane_bucket(F.col("embedding").cast("array<double>")).alias("b"))
     b2 = emb.select(hyperplane_bucket(F.col("embedding").cast("array<double>")).alias("b"))
     assert [r.b for r in b1.collect()] == [r.b for r in b2.collect()]
+
+
+def test_ivf_exhaustive_probe_equals_bruteforce(spark, emb):
+    """nprobe = nlist degrades to exact brute force: identical top-k."""
+    from p5_rdf_rdb2rdf_spark.ops.similarity import cosine_topk, ivf_build, ivf_topk
+
+    queries = emb.where("vec_id < 5").selectExpr("vec_id as query_id", "embedding")
+    cents = ivf_build(emb, nlist=8, iters=2)
+    exact = cosine_topk(emb, queries, k=5)
+    ivf = ivf_topk(emb, queries, cents, k=5, nprobe=8)
+    a = sorted(map(tuple, exact.select("query_id", "vec_id", "rank").collect()))
+    b = sorted(map(tuple, ivf.select("query_id", "vec_id", "rank").collect()))
+    assert a == b
+
+
+def test_ivf_narrow_probe_recall(spark, emb):
+    """Small nprobe keeps useful recall while scanning only probed buckets."""
+    from p5_rdf_rdb2rdf_spark.ops.similarity import cosine_topk, ivf_build, ivf_topk
+
+    queries = emb.where("vec_id < 10").selectExpr("vec_id as query_id", "embedding")
+    cents = ivf_build(emb, nlist=8, iters=2)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(emb, queries, cents, k=5, nprobe=3).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.5, recall
+    # every query still returns k results
+    from collections import Counter
+
+    per_q = Counter(q for q, _ in got)
+    assert all(v == 5 for v in per_q.values())
