@@ -101,3 +101,50 @@ def test_dedup_is_partial_aggregate(spark, tpch):
     plan = _plan(t)
     assert plan.count("HashAggregate") >= 2
     assert "Sort " not in plan
+
+
+def test_dedup_family_plans_jvm_only_no_cartesian(spark, tpch):
+    """Round-2 ops audit: every dedup path stays JVM-side (no Python eval
+    nodes) and bucket self-joins never degrade to cartesian products."""
+    from p5_rdf_rdb2rdf_spark.ops.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        minhash_signatures,
+        simhash_pairs,
+    )
+
+    docs = tpch["documents"]
+    sigs = minhash_signatures(docs, num_hashes=32, shingle_k=5)
+    assert "Python" not in _plan(sigs)
+
+    pairs = minhash_lsh_pairs(sigs, bands=8, threshold=0.5, num_hashes=32)
+    p = _plan(pairs)
+    assert "Python" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+    sim = simhash_pairs(docs, max_hamming=3)
+    p2 = _plan(sim)
+    assert "Python" not in p2
+    assert "CartesianProduct" not in p2 and "BroadcastNestedLoop" not in p2
+
+    ex = exact_dedup(docs)
+    p3 = _plan(ex)
+    assert "Python" not in p3
+    assert p3.count("HashAggregate") >= 2  # map-side partial + final
+
+
+def test_composite_pk_scan_pushdown(spark, tpch):
+    """w3c composite-PK pattern keeps pruned scans with pushed null filters
+    on a real parquet source."""
+    t = direct_map(
+        spark,
+        {"lineitem": tpch["lineitem"]},
+        {"lineitem": {"pk": ["l_orderkey", "l_linenumber"], "fks": []}},
+        base=BASE,
+    )
+    one = t.where(F.col("p_value") == f"{BASE}lineitem#l_quantity")
+    plan = _plan(one)
+    assert "PushedFilters: [IsNotNull" in plan
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "l_comment" not in line and "l_shipdate" not in line, line
