@@ -13,8 +13,19 @@ from pyspark.sql import types as T
 
 
 def entity_dictionary(spark: SparkSession, vocab_rows: list[tuple[str, str, str]]) -> DataFrame:
-    """(entity_id, surface, type) dictionary DataFrame."""
-    return spark.createDataFrame(vocab_rows, "entity_id string, surface string, type string")
+    """(entity_id, surface, type, canonical) dictionary DataFrame.
+
+    The canonical surface (min per entity) is computed driver-side — the
+    vocab is already a Python list, and deriving it with a groupBy + join
+    would cost two extra Spark jobs of pure scheduling latency per pipeline
+    run on what is by definition broadcast-sized data."""
+    canon: dict[str, str] = {}
+    for eid, surface, _t in vocab_rows:
+        canon[eid] = surface if eid not in canon else min(canon[eid], surface)
+    rows = [(eid, s, t, canon[eid]) for eid, s, t in vocab_rows]
+    return spark.createDataFrame(
+        rows, "entity_id string, surface string, type string, canonical string"
+    )
 
 
 @F.pandas_udf(T.DoubleType())
@@ -41,8 +52,11 @@ def link_mentions(
     mention fact table, and a hot surface (20% of docs) can't create a
     skewed shuffle partition because there is no shuffle.
     """
-    canon = dictionary.groupBy("entity_id").agg(F.min("surface").alias("canonical"))
-    dict_c = dictionary.join(F.broadcast(canon), "entity_id")
+    if "canonical" in dictionary.columns:
+        dict_c = dictionary
+    else:  # dictionaries built elsewhere: derive canonical distributedly
+        canon = dictionary.groupBy("entity_id").agg(F.min("surface").alias("canonical"))
+        dict_c = dictionary.join(F.broadcast(canon), "entity_id")
     out = mentions.join(
         F.broadcast(dict_c), mentions[surface_col] == dict_c["surface"], "inner"
     ).drop(dict_c["surface"])
