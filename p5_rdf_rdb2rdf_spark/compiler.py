@@ -20,7 +20,11 @@ Scale notes (100 TB framing):
 - Ref-object joins (R2RML §8, O13) are null-rejecting equi-joins; Spark
   picks broadcast/SMJ via stats + AQE. Pass ``broadcast_parents={'dept'}``
   to force-broadcast small dimension maps, matching the north_star
-  'broadcast dictionaries for hot entities' mandate.
+  'broadcast dictionaries for hot entities' mandate. When both logical
+  tables are bucketed on the join key (``bucketBy(n, key).saveAsTable``)
+  the join runs with ZERO shuffle exchanges — the co-located-join strategy
+  for repeated fact-fact joins at 100 TB (tests/test_bucketed_join.py
+  asserts the exchange elision against a shuffling control).
 - The same-logical-table elision (O14) never builds the join at all — a
   rewrite Catalyst cannot do because the join would otherwise exist.
 """
