@@ -62,3 +62,29 @@ def test_checkpointer_resume_and_lineage(spark, tmp_path):
     ck.reset_from("s1")
     ck.run_stage("s1", build)
     assert calls["n"] == 2  # re-ran after invalidation
+
+
+def test_driver_side_writers_guard_collect(spark):
+    """to_turtle / to_ntriples refuse to collect graphs beyond max_triples
+    (big graphs must go through the distributed ntriples_lines writer)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from p5_rdf_rdb2rdf_spark.ntriples import to_ntriples
+    from p5_rdf_rdb2rdf_spark.turtle_writer import to_turtle
+
+    big = spark.range(100).select(
+        F.lit("iri").alias("s_kind"),
+        F.concat(F.lit("http://s/"), F.col("id")).alias("s_value"),
+        F.lit("http://p/x").alias("p_value"),
+        F.lit("literal").alias("o_kind"),
+        F.col("id").cast("string").alias("o_value"),
+        F.lit(None).cast("string").alias("o_datatype"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit(None).cast("string").alias("g_value"),
+    )
+    with pytest.raises(ValueError, match="max_triples"):
+        to_ntriples(big, max_triples=10)
+    with pytest.raises(ValueError, match="max_triples"):
+        to_turtle(big, max_triples=10)
+    assert len(to_ntriples(big, max_triples=1000)) == 100
