@@ -344,7 +344,7 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     bucket_col: str | None = None,
     threshold: float = 0.95,
-    dim: int = 64,
+    dim: int | None = None,
     auto_planes: int = 4,
 ) -> DataFrame:
     """Cosine >= threshold pairs; the join is ALWAYS bucketed so candidate
@@ -352,8 +352,10 @@ def embedding_neardup_pairs(
 
     ``bucket_col`` names a caller-provided coarse key (cluster label, shard).
     When it is None the op auto-buckets by random-hyperplane signs
-    (:func:`..ops.similarity.hyperplane_bucket`, ``auto_planes`` planes over
-    ``dim`` dims) rather than silently degrading to an all-pairs self-join —
+    (:func:`..ops.similarity.hyperplane_bucket`, ``auto_planes`` planes; the
+    vector dimension is inferred per row unless ``dim`` is given, so an
+    unexpected embedding width can never collapse every row into one bucket
+    — ADVICE r2 #2) rather than silently degrading to an all-pairs self-join —
     the one default that cannot be allowed at 10^12 rows. Auto-bucketing is
     approximate: a cos>=t pair lands in the same sign bucket with prob
     ~(1 - arccos(t)/pi)^planes (>=0.89 for t=0.95, planes=4); pass an exact

@@ -91,15 +91,28 @@ def _plane_component(plane: int, dim_idx: Column) -> Column:
     return (h % F.lit(2_000_001)).cast("double") / 1_000_000.0
 
 
-def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
-    """Sign bucket id in [0, 2^n_planes): bit p = sign(vec . plane_p)."""
-    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int | None = None) -> Column:
+    """Sign bucket id in [0, 2^n_planes): bit p = sign(vec . plane_p).
+
+    ``dim=None`` (the default) infers each vector's length with ``F.size`` —
+    plane components depend only on (plane, dim_idx), so inference is exactly
+    equivalent to passing the true length. Round 2 hardcoded ``dim=64`` and a
+    mismatched vector length null-padded the ``zip_with`` dot product: every
+    dot went NULL, every row landed in bucket 0, and the downstream join
+    silently degraded to all-pairs (ADVICE r2 #2). The dot product now
+    indexes the vector with ``element_at`` over the plane-index sequence
+    (missing components contribute 0), so NO length mismatch can collapse
+    the bucketing; when lengths agree the math is term-for-term identical to
+    the old zip."""
+    idx = F.sequence(F.lit(0), (F.size(vec) - 1) if dim is None else F.lit(dim - 1))
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
         dot = F.aggregate(
-            F.zip_with(vec, idx, lambda x, i: x * _plane_component(p, i)),
+            idx,
             F.lit(0.0),
-            lambda s, x: s + x,
+            lambda s, i: s
+            + F.coalesce(F.try_element_at(vec, i.cast("int") + 1), F.lit(0.0))
+            * _plane_component(p, i),
         )
         bucket = bucket + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
     return bucket
@@ -110,7 +123,7 @@ def lsh_topk(
     queries: DataFrame,
     k: int = 5,
     n_planes: int = 8,
-    dim: int = 64,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def connected_components(
@@ -27,6 +28,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 20,
     driver_threshold: int = 200_000,
+    size_hint: int | None = None,
 ) -> DataFrame:
     """-> (node, component) where component = min node id in the component.
 
@@ -36,22 +38,45 @@ def connected_components(
     tiny graph here, and the iterative path's ~10 Spark jobs of pure
     scheduling latency dominate end-to-end pipeline time (measured in
     BENCH/BASELINE.md round-2 stage profile). Both paths produce identical
-    (node, min-member) output; the distributed path remains for genuinely
-    large graphs (set ``driver_threshold=0`` to force it).
+    (node, min-member) output in the INPUT's node type (min by that type's
+    ordering, matching the distributed ``least``); the distributed path
+    remains for genuinely large graphs (``driver_threshold=0`` forces it).
+
+    ``size_hint`` (edge count, if the caller already knows it) skips the
+    size probe entirely. Without it the probe is a bounded ``limit().count()``
+    — an aggregate-only job — so a huge graph never ships
+    ``driver_threshold`` edge rows to the driver just to learn it is huge
+    (VERDICT r2 next-round #6). Size ``driver_threshold`` to driver memory:
+    the fast path holds ~2 Python objects per edge endpoint (~100 MB at the
+    200k default with long string ids).
     """
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
     spark = edges.sparkSession
+    node_type = sym.schema["u"].dataType  # src/dst resolved to a common type
 
     if driver_threshold > 0:
-        sample = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).limit(
-            driver_threshold + 1
-        ).collect()
-        if len(sample) <= driver_threshold:
-            parent: dict[str, str] = {}
+        n_edges = (
+            size_hint
+            if size_hint is not None
+            else edges.limit(driver_threshold + 1).count()
+        )
+        if n_edges <= driver_threshold:
+            sample = (
+                edges.select(
+                    F.col(src).cast(node_type).alias("u"),
+                    F.col(dst).cast(node_type).alias("v"),
+                )
+                .limit(driver_threshold + 1)
+                .collect()
+            )
+        else:
+            sample = None
+        if sample is not None and len(sample) <= driver_threshold:
+            parent: dict = {}
 
-            def find(x: str) -> str:
+            def find(x):
                 r = x
                 while parent[r] != r:
                     r = parent[r]
@@ -66,13 +91,19 @@ def connected_components(
                 ru, rv = find(row.u), find(row.v)
                 if ru != rv:
                     parent[ru] = rv
-            comp_min: dict[str, str] = {}
+            comp_min: dict = {}
             for n in parent:
                 r = find(n)
                 if r not in comp_min or n < comp_min[r]:
                     comp_min[r] = n
             rows = [(n, comp_min[find(n)]) for n in sorted(parent)]
-            return spark.createDataFrame(rows, "node string, component string")
+            schema = T.StructType(
+                [
+                    T.StructField("node", node_type, False),
+                    T.StructField("component", node_type, False),
+                ]
+            )
+            return spark.createDataFrame(rows, schema)
 
     nodes = sym.select(F.col("u").alias("node")).distinct()
     labels = nodes.withColumn("component", F.col("node")).localCheckpoint()

@@ -180,6 +180,43 @@ class DirectMappingStore:
         except (ValueError, InvalidOperation):
             return False, None
 
+    # -- bound-object filter construction -------------------------------------
+    @staticmethod
+    def _bound_object_filters(column: str, dtype, val, o: str) -> list:
+        """Source-column filters for a bound literal object.
+
+        The contract is: keep exactly the rows whose EMITTED lexical form
+        equals ``o``. The lexical equality alone guarantees that; typed
+        conjuncts exist only so Catalyst has a scan-pushable filter, and they
+        must never be NARROWER than the lexical test (a typed false negative
+        silently drops matching rows — ADVICE r2 #1):
+
+        - TimestampType: the lexical form truncates sub-seconds, so the exact
+          native-typed equivalent of ``lexical == o`` is the RANGE
+          [v, v+1s) — pushed instead of equality (equality missed rows with
+          fractional seconds).
+        - FloatType: ``float(o)`` is a double; comparing it to the
+          float32-widened column value virtually never matches, so no typed
+          conjunct — the lexical comparison carries the filter alone.
+        - everything else: typed equality is exact (double lexical forms are
+          shortest-round-trip, so parse-back equality holds for canonical
+          lexicals; non-canonical lexicals fail both conjuncts).
+        """
+        import datetime as _dt
+
+        from pyspark.sql import types as T
+
+        lex = lexical_form(F.col(column), dtype) == o
+        if isinstance(dtype, T.TimestampType):
+            return [
+                F.col(column) >= F.lit(val),
+                F.col(column) < F.lit(val + _dt.timedelta(seconds=1)),
+                lex,
+            ]
+        if isinstance(dtype, T.FloatType):
+            return [lex]
+        return [F.col(column) == F.lit(val), lex]
+
     # -- pattern query -------------------------------------------------------
     def get_statements(
         self,
@@ -257,13 +294,9 @@ class DirectMappingStore:
                 if not ok:
                     return self._empty()
                 field = {f.name: f for f in self.tables[dec.table].schema.fields}[dec.column]
-                # typed equality reaches the parquet scan as a pushed filter;
-                # the lexical equality keeps exactness for any type whose
-                # native equality is coarser than its lexical form
-                object_filters[dec.table] = [
-                    F.col(dec.column) == F.lit(val),
-                    lexical_form(F.col(dec.column), field.dataType) == o,
-                ]
+                object_filters[dec.table] = self._bound_object_filters(
+                    dec.column, field.dataType, val, o
+                )
             elif dec is not None and dec.ref_cols is not None:
                 dec_o = self._decode_subject(o)
                 fk = next(

@@ -168,6 +168,35 @@ def test_embedding_neardup_auto_bucket_never_cartesian(spark):
     assert (0, 100) in got
 
 
+def test_embedding_neardup_auto_bucket_infers_dim(spark):
+    """Regression (ADVICE r2 #2): round 2 hardcoded dim=64 in auto-bucketing,
+    so 8-dim vectors null-padded every hyperplane dot product and ALL rows
+    collapsed into bucket 0 — the exact all-pairs degradation the bucketing
+    exists to prevent. With inference the 8-dim buckets must be non-trivial,
+    and an explicitly-wrong dim must now bucket identically to the inferred
+    one (element_at treats missing components as 0)."""
+    from p5_rdf_rdb2rdf_spark.ops.similarity import hyperplane_bucket
+
+    rows = [(i, [float((i * 13 + d * 7) % 11 - 5) for d in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    inferred = df.select(
+        "vec_id", hyperplane_bucket(F.col("embedding"), n_planes=4).alias("b")
+    )
+    n_buckets = inferred.select("b").distinct().count()
+    assert n_buckets > 1, "8-dim vectors must spread across hyperplane buckets"
+    wrong_dim = df.select(
+        "vec_id", hyperplane_bucket(F.col("embedding"), n_planes=4, dim=64).alias("b")
+    )
+    assert sorted(map(tuple, inferred.collect())) == sorted(map(tuple, wrong_dim.collect()))
+    # and the full op with default dim still finds the planted pair, bucketed
+    planted = rows + [(100, [2.0 * v for v in rows[0][1]])]
+    pdf = spark.createDataFrame(planted, "vec_id long, embedding array<double>")
+    pairs = embedding_neardup_pairs(pdf, threshold=0.999)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert (0, 100) in {(r.id_a, r.id_b) for r in pairs.collect()}
+
+
 def test_embedding_neardup(spark):
     import numpy as np
 

@@ -150,6 +150,25 @@ def test_cc_driver_and_distributed_paths_identical(spark):
     assert fast == dist and fast
 
 
+def test_cc_fast_path_preserves_node_type(spark):
+    """Regression (ADVICE r2 #3): long node ids must work through the driver
+    fast path (round 2 hardcoded a string schema and raised TypeError) and
+    match the distributed path — including numeric min-label choice, where
+    e.g. 9 > 10 as strings but 9 < 10 numerically."""
+    from p5_rdf_rdb2rdf_spark.pipeline.cc import connected_components
+
+    edges = [(10, 9), (9, 2), (100, 20)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    fast = connected_components(df)
+    assert dict(fast.dtypes) == {"node": "bigint", "component": "bigint"}
+    f = sorted(map(tuple, fast.collect()))
+    d = sorted(map(tuple, connected_components(df, driver_threshold=0).collect()))
+    assert f == d == [(2, 2), (9, 2), (10, 2), (20, 20), (100, 20)]
+    # size_hint skips the probe and yields the same result
+    h = sorted(map(tuple, connected_components(df, size_hint=len(edges)).collect()))
+    assert h == f
+
+
 def test_cc_chain_distributed_path(spark):
     """Chain convergence on the distributed path specifically."""
     from p5_rdf_rdb2rdf_spark.pipeline.cc import connected_components

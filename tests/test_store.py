@@ -74,6 +74,46 @@ def test_dm_store_bound_subject_prunes(spark, tables):
     assert df.count() > 0
 
 
+def test_dm_store_bound_object_fractional_ts_and_float(spark):
+    """Regression (ADVICE r2 #1): the typed bound-object conjunct must never
+    be narrower than the lexical form. A timestamp with fractional seconds
+    emits o_value without the fraction — get_statements(o=<that lexical>)
+    must return the row (typed range [v, v+1s), not equality). A float32
+    column must match its emitted lexical (no widened-double equality)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), False),
+            T.StructField("at", T.TimestampType(), True),
+            T.StructField("score", T.FloatType(), True),
+        ]
+    )
+    rows = [
+        (1, dt.datetime(2020, 1, 1, 0, 0, 5, 123000), 0.1),
+        (2, dt.datetime(2020, 1, 1, 0, 0, 5), 2.5),
+        (3, dt.datetime(2020, 1, 1, 0, 0, 6), None),
+    ]
+    t = spark.createDataFrame(rows, schema)
+    cons = {"t": {"pk": ["id"], "fks": []}}
+    full = TripleStore(direct_map(spark, {"t": t}, cons, base=BASE))
+    lazy = DirectMappingStore(spark, {"t": t}, cons, base=BASE)
+
+    # both rows 1 and 2 lexicalize to the same truncated form
+    pat = {"p": f"{BASE}t#at", "o": "2020-01-01T00:00:05"}
+    want = sorted(map(tuple, full.get_statements(**pat).collect()))
+    got = sorted(map(tuple, lazy.get_statements(**pat).collect()))
+    assert len(got) == 2 and got == want
+
+    # float32: the emitted lexical must round-trip through the lazy store
+    for r in full.get_statements(p=f"{BASE}t#score").collect():
+        pat = {"p": f"{BASE}t#score", "o": r.o_value}
+        got = lazy.get_statements(**pat).collect()
+        assert [x.o_value for x in got] == [r.o_value], pat
+
+
 def test_dm_store_bound_object_pushes_typed_filter(spark, tables, tmp_path):
     """Bound (p, o) must become a TYPED source-column equality that reaches
     the parquet scan as a pushed filter, with the scan pruned to the columns
