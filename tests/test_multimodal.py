@@ -121,6 +121,12 @@ def test_probe_video_container(spark):
     rows = [
         ("v1", "video", bytearray(b"\x00\x00\x00\x18ftypmp42" + b"x" * 2048), 0),
         ("v2", "video", bytearray(b"not-an-mp4" + b"y" * 100), 0),
+        # regression (ADVICE r2 #5): box-size bytes >= 0x80. A string cast
+        # UTF-8-decodes \x00\x01\x86\xa0 into fewer characters than 4 bytes,
+        # shifting 'ftyp' off offset 5 and misclassifying the payload.
+        ("v3", "video", bytearray(b"\x00\x01\x86\xa0ftypisom" + b"\xff" * 64), 0),
+        # and >=0x80 bytes *inside* a 4-byte size that UTF-8 would reject
+        ("v4", "video", bytearray(b"\x80\x81\x82\x83ftypmp41" + b"z" * 512), 0),
     ]
     media = spark.createDataFrame(
         rows, "media_ref string, kind string, payload binary, n_bytes int"
@@ -128,6 +134,106 @@ def test_probe_video_container(spark):
     got = {r.media_ref: r for r in probe_video(media, bytes_per_frame_est=512).collect()}
     assert got["v1"].container == "mp4" and got["v1"].n_frames_est == 4
     assert got["v2"].container == "unknown" and got["v2"].n_frames_est == 1
+    assert got["v3"].container == "mp4"
+    assert got["v4"].container == "mp4"
+
+
+def _mp4_bytes(timescale: int, duration: int, version: int = 0) -> bytes:
+    """Minimal real MP4: ftyp box + moov{mvhd} box, valid ISO-BMFF sizes."""
+    import struct
+
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + b"\x00\x00\x02\x00"
+    if version == 0:
+        body = b"\x00\x00\x00\x00" + struct.pack(">IIII", 0, 0, timescale, duration)
+    else:
+        body = b"\x01\x00\x00\x00" + struct.pack(">QQIQ", 0, 0, timescale, duration)
+    mvhd = struct.pack(">I", 8 + len(body)) + b"mvhd" + body
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    return ftyp + moov
+
+
+def test_probe_video_duration_mvhd(spark):
+    """VERDICT r2 next-round #10: mvhd timescale/duration from a REAL box
+    walk, both version layouts; non-MP4 reports NULLs (no fake durations)."""
+    from p5_rdf_rdb2rdf_spark.ops.multimodal import probe_video_duration
+
+    rows = [
+        ("d0", "video", bytearray(_mp4_bytes(600, 3600, version=0)), 0),
+        ("d1", "video", bytearray(_mp4_bytes(90000, 90000 * 7 + 45000, version=1)), 0),
+        ("d2", "video", bytearray(b"RIFFxxxxAVI " + b"q" * 64), 0),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_ref string, kind string, payload binary, n_bytes int"
+    )
+    got = {r.media_ref: r for r in probe_video_duration(media).collect()}
+    assert (got["d0"].container, got["d0"].timescale, got["d0"].duration_units) == ("mp4", 600, 3600)
+    assert abs(got["d0"].duration_s - 6.0) < 1e-9
+    assert (got["d1"].timescale, got["d1"].duration_units) == (90000, 675000)
+    assert abs(got["d1"].duration_s - 7.5) < 1e-9
+    assert got["d2"].container == "unknown" and got["d2"].duration_s is None
+
+
+def test_decode_audio_noncanonical_wav_layouts(spark):
+    """Regression (ADVICE r2 #4): WAVE with an 18-byte fmt (cbSize=0), a LIST
+    chunk before data, and a fact chunk must parse via the RIFF sub-chunk
+    walk; n_samples comes from the data chunk's declared size, never from
+    len(payload)-44."""
+    import struct
+
+    def wav_ext(rate, channels, bits, n_samples):
+        data = b"\x00" * (n_samples * channels * (bits // 8))
+        fmt16 = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * bits // 8,
+                            channels * bits // 8, bits)
+        fmt18 = fmt16 + struct.pack("<H", 0)  # cbSize = 0
+        list_chunk = b"LIST" + struct.pack("<I", 9) + b"INFOIART1"  # odd size -> pad byte
+        fact = b"fact" + struct.pack("<I", 4) + struct.pack("<I", n_samples)
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", 18) + fmt18
+            + list_chunk + b"\x00"
+            + fact
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    rows = [("x1", "audio", bytearray(wav_ext(22050, 2, 16, 333)), 0)]
+    media = spark.createDataFrame(
+        rows, "media_ref string, kind string, payload binary, n_bytes int"
+    )
+    got = decode_audio(media).collect()[0]
+    assert (got.sample_rate, got.channels, got.bits_per_sample, got.n_samples, got.format) == (
+        22050, 2, 16, 333, "wav",
+    )
+
+
+def test_decode_images_real_jpeg_sof(spark):
+    """VERDICT r2 next-round #10: JPEG dimensions out of SOF0/SOF2 via a real
+    marker walk (APP0 + quant table before the SOF; no PIL)."""
+    import struct
+
+    def jpeg(width, height, channels, sof_marker):
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x01\x00H\x00H\x00\x00"
+        dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x10" * 64
+        sof = (
+            bytes([0xFF, sof_marker])
+            + struct.pack(">H", 8 + 3 * channels)
+            + b"\x08"
+            + struct.pack(">HH", height, width)
+            + bytes([channels])
+            + b"\x01\x11\x00" * channels
+        )
+        return b"\xff\xd8" + app0 + dqt + sof + b"\xff\xd9"
+
+    rows = [
+        ("j0", "image", bytearray(jpeg(800, 600, 3, 0xC0)), 0),  # baseline SOF0
+        ("j2", "image", bytearray(jpeg(123, 45, 1, 0xC2)), 0),   # progressive SOF2
+    ]
+    media = spark.createDataFrame(
+        rows, "media_ref string, kind string, payload binary, n_bytes int"
+    )
+    got = {r.media_ref: r for r in decode_images(media).collect()}
+    assert (got["j0"].width, got["j0"].height, got["j0"].channels, got["j0"].format) == (800, 600, 3, "jpeg")
+    assert (got["j2"].width, got["j2"].height, got["j2"].channels, got["j2"].format) == (123, 45, 1, "jpeg")
 
 
 def test_media_features_normalized(spark):
@@ -146,6 +252,7 @@ def test_media_features_normalized(spark):
 def test_sample_frames_shape(spark):
     media = _media(spark)
     frames = sample_frames(media, every_n_bytes=128, max_frames=4)
+    assert dict(frames.dtypes)["frame_probe"] == "binary"
     rows = frames.collect()
     assert rows
     by_ref = {}
@@ -153,3 +260,17 @@ def test_sample_frames_shape(spark):
         by_ref.setdefault(r.media_ref, []).append(r.frame_idx)
     for ref, idxs in by_ref.items():
         assert idxs == sorted(idxs) and len(idxs) <= 4
+
+
+def test_sample_frames_byte_exact_offsets(spark):
+    """Regression (ADVICE r2 #5): slices must be at BYTE strides even when
+    the payload contains >= 0x80 bytes (a string cast made offsets
+    character-based and mangled the probe bytes)."""
+    payload = bytes(range(256)) * 3  # plenty of high bytes
+    media = spark.createDataFrame(
+        [("s1", "video", bytearray(payload), len(payload))],
+        "media_ref string, kind string, payload binary, n_bytes int",
+    )
+    rows = {r.frame_idx: bytes(r.frame_probe) for r in
+            sample_frames(media, every_n_bytes=256, max_frames=3).collect()}
+    assert rows == {i: payload[i * 256 : i * 256 + 16] for i in range(3)}
