@@ -623,15 +623,43 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("ann_lsh_topk")  # rows-only: approximate by design (recall tested in pytest)
+@_q(
+    "ann_lsh_topk",
+    """
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 9) AS cosine
+      FROM embeddings q, embeddings c
+      WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+    ), ranked AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5
+    """,
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH search, oracle-checked via the same exhaustive-coverage
+    trick as IVF (VERDICT r2 next-round #4): with ``n_planes=1`` there are
+    exactly two sign buckets and ``multiprobe=1`` probes the query's bucket
+    PLUS its Hamming-1 neighbor — i.e. both — so the bucket-join provably
+    covers the whole corpus and the result equals brute force (9dp rounding
+    + id tie-break make exact top-k DuckDB-reproducible). This proves the
+    bucket/probe/re-rank machinery end-to-end; the narrow-probe approximate
+    path (recall vs brute force at n_planes=4) stays covered in
+    tests/test_similarity.py."""
     from p5_rdf_rdb2rdf_spark.ops.similarity import lsh_topk
 
     emb = _load(spark, sf_dir, ["embeddings"])["embeddings"]
     queries_df = emb.where("vec_id < 10").select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(emb, queries_df, k=5, n_planes=4, multiprobe=1)
+    return lsh_topk(emb, queries_df, k=5, n_planes=1, multiprobe=1).select(
+        "query_id", "vec_id", "rank"
+    )
 
 
 # exact word-5-gram Jaccard over ALL pairs — the DuckDB twin of the engine's
@@ -690,12 +718,44 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ver.select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
 
 
-@_q("text_fingerprints")  # rows-only: engine-defined hash (pytest checks vs python)
+@_q(
+    "text_fingerprints",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ), meta AS (
+      SELECT doc_id, t,
+             greatest(CAST(ceil(len(t) / 64.0) AS INT), 1) AS n_chunks
+      FROM toks
+    ), idx AS (
+      SELECT doc_id, n_chunks, t, unnest(range(n_chunks)) AS i FROM meta
+    ), ch AS (
+      SELECT doc_id, n_chunks,
+             array_to_string(t[i * 64 + 1 : i * 64 + 64], ' ') AS chunk
+      FROM idx
+    )
+    SELECT doc_id, any_value(n_chunks) AS n_chunks,
+           CAST(count(DISTINCT chunk) AS INT) AS n_distinct_chunks
+    FROM ch GROUP BY doc_id
+    """,
+)
 def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from p5_rdf_rdb2rdf_spark.ops.text import fingerprint64
+    """Chunked-fingerprint STRUCTURE oracle (VERDICT r2 next-round #9):
+    xxhash64 doesn't exist in DuckDB, so the hash VALUES are pytest-twinned
+    (tests/test_text_ops.py determinism + edit-localization), but the chunk
+    count (ceil(tokens/64)) and the number of DISTINCT chunk hashes are
+    DuckDB-reproducible — the latter equals distinct chunk TEXTS unless
+    xxhash64 spuriously collides, so a green row also witnesses hash
+    non-degeneracy over the corpus."""
+    from p5_rdf_rdb2rdf_spark.ops.text import fingerprint64_chunks
 
     docs = _load(spark, sf_dir, ["documents"])["documents"]
-    return docs.select("doc_id", fingerprint64(F.col("text")).alias("fp"))
+    chunks = fingerprint64_chunks(F.col("text"), chunk_tokens=64)
+    return docs.select(
+        "doc_id",
+        F.size(chunks).alias("n_chunks"),
+        F.size(F.array_distinct(chunks)).alias("n_distinct_chunks"),
+    )
 
 
 @_q("multimodal_features")  # rows-only: stubbed decode kernels (see ops/multimodal.py)
