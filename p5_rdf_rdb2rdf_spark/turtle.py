@@ -41,11 +41,13 @@ _TOKEN = re.compile(
   | (?P<dtsep>\^\^)
   | (?P<punct>[;,.\[\]()])
   | (?P<number>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
-  | (?P<bool>\btrue\b|\bfalse\b)
-  | (?P<a>\ba\b)
   | (?P<bnode>_:[\w-]+)
+    # pname/colononly MUST precede the bare keywords: 'a:b' is a prefixed
+    # name, not the 'a' keyword; 'true:x' is a prefixed name, not a boolean
   | (?P<pname>[A-Za-z_][\w.-]*?:[\w.%-]*(?<![.;,]))
   | (?P<colononly>:[\w.%-]*(?<![.;,]))
+  | (?P<bool>\btrue\b|\bfalse\b)
+  | (?P<a>\ba\b)
   | (?P<ws>\s+)
     """,
     re.VERBOSE,
