@@ -63,11 +63,30 @@ class GraphTable:
         self._bucket_cache: dict[str, int] = {}  # predicate -> bucket memo
 
     # -- write ---------------------------------------------------------------
-    def write(self, triples: DataFrame, mode: str = "overwrite", lineage: dict | None = None) -> str:
+    def write(
+        self,
+        triples: DataFrame,
+        mode: str = "overwrite",
+        lineage: dict | None = None,
+        dedup: bool = False,
+    ) -> str:
         """Write triples; returns the new snapshot id.
 
-        Adds the ``pred_bucket`` partition column; dedup is the caller's
-        choice (compile_mapping already applies RDF set semantics).
+        Adds the ``pred_bucket`` partition column. ``dedup=True`` applies RDF
+        set semantics FUSED with the write: the distinct's own full-key
+        shuffle becomes the ONLY exchange — rows land hash-spread by the
+        whole triple (no few-key skew possible, a strictly better spread
+        than the (pred_bucket, s_value) repartition the non-dedup path
+        uses), and a partition-LOCAL sort on pred_bucket (no exchange)
+        keeps the directory writer to one open file at a time. One shuffle
+        of the triple set instead of the two a caller-side
+        ``dropDuplicates`` + write costs (plan-asserted in tests/test_io.py;
+        a first attempt that reused the repartition's clustering for the
+        aggregate was silently re-ordered by Catalyst back into two
+        exchanges). Worst-case file count rises to tasks x buckets;
+        ``maxRecordsPerFile`` and AQE partition coalescing bound it.
+        Callers whose input is already distinct (compile_mapping output)
+        leave it False.
         """
         if self.iceberg:
             # Iceberg hidden partitioning: partitionedBy(bucket(K, p_value))
@@ -77,6 +96,8 @@ class GraphTable:
             # tests/test_io.py — no Iceberg jar ships in this sandbox.)
             from pyspark.sql.functions import partitioning
 
+            if dedup:
+                triples = triples.dropDuplicates(list(TRIPLE_COLUMNS))
             writer = triples.writeTo(self.iceberg_ref).using("iceberg")
             if mode == "overwrite":
                 writer.partitionedBy(
@@ -88,6 +109,8 @@ class GraphTable:
                 f"SELECT snapshot_id FROM {self.iceberg_ref}.snapshots ORDER BY committed_at DESC LIMIT 1"
             ).head()[0])
 
+        if dedup:
+            triples = triples.dropDuplicates(list(TRIPLE_COLUMNS))
         df = triples.withColumn(
             "pred_bucket", F.pmod(F.xxhash64(F.col("p_value")), F.lit(self.n_buckets)).cast("int")
         )
@@ -101,12 +124,17 @@ class GraphTable:
         # round-2 KG scaling profile). The subject sub-key spreads each
         # bucket across the cluster while .partitionBy keeps the directory
         # layout — multiple files per bucket directory, pruning unchanged.
-        n_tasks = max(
-            self.n_buckets, df.sparkSession.sparkContext.defaultParallelism * 2
-        )
+        if dedup:
+            # the distinct's full-key exchange is the write's distribution;
+            # local sort only groups rows by target directory within a task
+            df = df.sortWithinPartitions("pred_bucket")
+        else:
+            n_tasks = max(
+                self.n_buckets, df.sparkSession.sparkContext.defaultParallelism * 2
+            )
+            df = df.repartition(n_tasks, F.col("pred_bucket"), F.col("s_value"))
         (
-            df.repartition(n_tasks, F.col("pred_bucket"), F.col("s_value"))
-            .write.mode("overwrite")
+            df.write.mode("overwrite")
             .option("maxRecordsPerFile", 5_000_000)
             .partitionBy("pred_bucket")
             .parquet(data_dir)

@@ -161,12 +161,13 @@ def run_pipeline(
     triples = ckpt.run_stage("s5_triples", _triples, inputs=["s2_relations", "s4_canon"])
 
     table = GraphTable(spark, f"{workdir}/graph", n_buckets=n_buckets)
-    deduped = triples.dropDuplicates(
-        ["s_kind", "s_value", "p_value", "o_kind", "o_value", "o_datatype", "o_lang", "g_value"]
-    )
+    # set semantics fused with the write shuffle: GraphTable dedups AFTER its
+    # (pred_bucket, s_value) repartition, so the whole materialization is ONE
+    # exchange of the triple set instead of dropDuplicates + repartition = two
     snapshot_id = table.write(
-        deduped,
+        triples,
         lineage={"stages": list(ckpt.lineage()["stages"])},
+        dedup=True,
     )
     return PipelineResult(
         triples=table.read(snapshot_id), snapshot_id=snapshot_id, lineage=ckpt.lineage()
