@@ -154,9 +154,7 @@ def dm_nation_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- O18: distinct-triple materialization, counts per predicate ------------
-@_q(
-    "dm_predicate_counts",
-    f"""
+_DM_CUSTOMER_PRED_COUNTS_SQL = f"""
     WITH t AS (
       SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p FROM customer
       UNION ALL SELECT '{BASE}customer#c_custkey' FROM customer
@@ -167,8 +165,10 @@ def dm_nation_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL SELECT '{BASE}customer#ref-c_nationkey' FROM customer WHERE c_nationkey IS NOT NULL
     )
     SELECT p AS p_value, COUNT(*) AS n_triples FROM t GROUP BY p ORDER BY p
-    """,
-)
+    """
+
+
+@_q("dm_predicate_counts", _DM_CUSTOMER_PRED_COUNTS_SQL)
 def dm_predicate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from p5_rdf_rdb2rdf_spark.direct_mapping import direct_map
 
@@ -177,6 +177,40 @@ def dm_predicate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.groupBy("p_value").agg(F.count(F.lit(1)).alias("n_triples")).orderBy("p_value")
     )
+
+
+# --- incremental delta-merge materialization (GraphTable.merge) ------------
+@_q("graph_incremental_merge", _DM_CUSTOMER_PRED_COUNTS_SQL)
+def graph_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental set-semantics materialization: the customer DM triples
+    arrive in three OVERLAPPING batches (subject-hash ranges 0-60%, 40-100%,
+    then a full re-merge), each GraphTable.merge() writing only the delta
+    not already in the chained snapshots (null-safe anti-join). The final
+    chain must equal the one-shot materialization exactly — same closed-form
+    per-predicate oracle as dm_predicate_counts — which also witnesses
+    idempotent resume (the third merge is an empty delta)."""
+    import tempfile
+
+    from p5_rdf_rdb2rdf_spark.direct_mapping import direct_map
+    from p5_rdf_rdb2rdf_spark.io.graph_table import GraphTable
+
+    tables = _load(spark, sf_dir, ["nation", "customer"])
+    t = direct_map(spark, tables, TPCH_CONSTRAINTS, base=BASE, only=["customer"])
+    h = F.pmod(F.xxhash64(F.col("s_value")), F.lit(10))
+    with tempfile.TemporaryDirectory() as wd:
+        gt = GraphTable(spark, f"{wd}/graph", n_buckets=4)
+        gt.merge(t.where(h < 6))
+        gt.merge(t.where(h >= 4))
+        gt.merge(t)  # idempotence: already fully known -> empty delta
+        assert gt.current_snapshot()["delta_rows"] == 0
+        out = (
+            gt.read()
+            .groupBy("p_value")
+            .agg(F.count(F.lit(1)).alias("n_triples"))
+            .orderBy("p_value")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach from tmpdir
+    return out
 
 
 # --- O13: R2RML referencing-object join (rr:joinCondition) -----------------

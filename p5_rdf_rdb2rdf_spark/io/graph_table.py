@@ -144,7 +144,7 @@ class GraphTable:
         # the manifest lets read_predicate prune without running a 1-row
         # bucket-computation job per query (VERDICT r2 What's-wrong #4)
         per_pred = (
-            self.spark.read.parquet(data_dir)
+            self._read_dirs([data_dir])  # explicit schema: dir may be empty (zero-delta merge)
             .groupBy("pred_bucket", "p_value")
             .agg(F.count(F.lit(1)).alias("cnt"))
             .collect()
@@ -171,12 +171,75 @@ class GraphTable:
         self._write_manifest(manifest)
         return snapshot_id
 
+    # -- incremental merge -----------------------------------------------------
+    def merge(self, new_triples: DataFrame, lineage: dict | None = None) -> str:
+        """Incremental set-semantics materialization: the new snapshot equals
+        ``current ∪ new_triples`` (distinct), but only the DELTA — new rows
+        not already in the graph — is written; the snapshot's manifest entry
+        chains the parent's data directories, so write cost is
+        O(|new| + one anti-join), not O(|graph|). Re-merging already-known
+        triples is a no-op delta (idempotent resume, matching the
+        StageCheckpointer contract). ``read``/``read_predicate`` transparently
+        union the chain; ``pred_buckets`` maps accumulate along it.
+
+        The anti-join hashes on the full triple key — one shuffle of
+        delta + parent, no skew. On the Iceberg backend the equivalent is a
+        MERGE INTO / append with a distinct-on-read view; here the parquet
+        backend keeps exact set semantics at write time.
+        """
+        cur = self.current_snapshot()
+        if cur is None:
+            return self.write(new_triples, dedup=True, lineage=lineage)
+        parent_dirs = cur.get("dirs", [cur["dir"]])
+        base = self._read_dirs(parent_dirs).drop("pred_bucket").alias("base")
+        new = new_triples.dropDuplicates(list(TRIPLE_COLUMNS)).alias("new")
+        # NULL-SAFE equality on every key: o_datatype/o_lang/g_value are
+        # nullable and plain `=` treats NULL != NULL, which would re-append
+        # every NULL-bearing triple on each merge (caught by the idempotence
+        # test). eqNullSafe keeps the anti-join an ordinary hash join.
+        cond = None
+        for c in TRIPLE_COLUMNS:
+            eq = F.col(f"new.{c}").eqNullSafe(F.col(f"base.{c}"))
+            cond = eq if cond is None else (cond & eq)
+        delta = new.join(base, on=cond, how="left_anti")
+        # dedup=True is a semantic no-op here (the anti-join output is already
+        # distinct) but reuses the join's full-key partitioning: the fused
+        # distinct adds no exchange, whereas the non-dedup path would
+        # repartition the delta a second time
+        sid = self.write(delta, lineage=lineage, dedup=True)
+        m = self._read_manifest()
+        snap = next(s for s in m["snapshots"] if s["id"] == sid)
+        snap["dirs"] = [*parent_dirs, snap["dir"]]
+        snap["delta_rows"] = snap["total_rows"]
+        snap["total_rows"] = cur["total_rows"] + snap["total_rows"]
+        snap["pred_buckets"] = {**cur.get("pred_buckets", {}), **snap["pred_buckets"]}
+        self._write_manifest(m)
+        return sid
+
     # -- read ----------------------------------------------------------------
+    def _read_dirs(self, dirs: list[str]) -> DataFrame:
+        # explicit schema: an empty delta directory has no files to infer from
+        from pyspark.sql import types as T
+
+        from ..terms import TRIPLE_SCHEMA
+
+        schema = T.StructType(
+            [*TRIPLE_SCHEMA.fields, T.StructField("pred_bucket", T.IntegerType())]
+        )
+        # one read per snapshot dir, unioned: Spark's partition discovery
+        # rejects multiple roots that each carry pred_bucket= subdirs in a
+        # single call; a pred_bucket/p_value filter still pushes into every
+        # branch, so chain reads prune identically to single-snapshot reads
+        from functools import reduce
+
+        dfs = [self.spark.read.schema(schema).parquet(d) for d in dirs]
+        return reduce(lambda a, b: a.unionByName(b), dfs)
+
     def read(self, snapshot_id: str | None = None) -> DataFrame:
         if self.iceberg:
             return self.spark.table(self.iceberg_ref)
         snap = self._snapshot(snapshot_id)
-        return self.spark.read.parquet(snap["dir"]).drop("pred_bucket")
+        return self._read_dirs(snap.get("dirs", [snap["dir"]])).drop("pred_bucket")
 
     def read_predicate(self, predicate: str, snapshot_id: str | None = None) -> DataFrame:
         """Bound-predicate read — prunes to one bucket before filtering.
@@ -195,7 +258,7 @@ class GraphTable:
                 F.col("p_value") == predicate
             )
         snap = self._snapshot(snapshot_id)
-        df = self.spark.read.parquet(snap["dir"])
+        df = self._read_dirs(snap.get("dirs", [snap["dir"]]))
         bucket = snap.get("pred_buckets", {}).get(predicate)
         if bucket is None:
             bucket = self._bucket_via_job(predicate)

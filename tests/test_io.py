@@ -189,6 +189,43 @@ def test_graph_table_iceberg_write_contract(spark, tables, monkeypatch, tmp_path
         spark.conf.unset("spark.sql.catalog.fakecat")
 
 
+def test_graph_table_incremental_merge(spark, tables, tmp_path):
+    """merge() chains delta snapshots: only rows new to the graph are
+    written, read()/read_predicate() union the chain, re-merging known
+    triples is an idempotent empty delta, and the final graph equals the
+    full-rewrite result exactly."""
+    triples = direct_map(spark, tables, CONSTRAINTS, base=BASE)
+    first = triples.where(F.col("p_value").contains("books"))
+    rest = triples  # overlaps `first` — the anti-join must drop the overlap
+
+    gt = GraphTable(spark, str(tmp_path / "gtm"), n_buckets=4)
+    s1 = gt.merge(first)
+    n1 = gt.current_snapshot()["total_rows"]
+    assert n1 == first.distinct().count()
+
+    s2 = gt.merge(rest)
+    snap2 = gt.current_snapshot()
+    want = sorted(map(tuple, triples.collect()))
+    assert sorted(map(tuple, gt.read().collect())) == want
+    assert snap2["total_rows"] == len(want)
+    assert snap2["delta_rows"] == len(want) - n1  # only the new rows written
+    assert snap2["dirs"][0] == gt._snapshot(s1)["dir"]
+
+    # idempotent: merging already-known triples appends an empty delta
+    s3 = gt.merge(first)
+    snap3 = gt.current_snapshot()
+    assert snap3["delta_rows"] == 0 and snap3["total_rows"] == len(want)
+    assert sorted(map(tuple, gt.read(s3).collect())) == want
+
+    # bound-predicate read prunes across the whole chain
+    pred = f"{BASE}books#title"
+    assert gt.read_predicate(pred).count() == triples.where(
+        F.col("p_value") == pred
+    ).count()
+    # earlier snapshots stay readable (time travel along the chain)
+    assert gt.read(s1).count() == n1
+
+
 def test_checkpointer_resume_and_lineage(spark, tmp_path):
     ck = StageCheckpointer(spark, str(tmp_path / "ck"))
     calls = {"n": 0}
