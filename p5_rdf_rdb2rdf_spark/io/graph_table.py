@@ -191,17 +191,7 @@ class GraphTable:
         if cur is None:
             return self.write(new_triples, dedup=True, lineage=lineage)
         parent_dirs = cur.get("dirs", [cur["dir"]])
-        base = self._read_dirs(parent_dirs).drop("pred_bucket").alias("base")
-        new = new_triples.dropDuplicates(list(TRIPLE_COLUMNS)).alias("new")
-        # NULL-SAFE equality on every key: o_datatype/o_lang/g_value are
-        # nullable and plain `=` treats NULL != NULL, which would re-append
-        # every NULL-bearing triple on each merge (caught by the idempotence
-        # test). eqNullSafe keeps the anti-join an ordinary hash join.
-        cond = None
-        for c in TRIPLE_COLUMNS:
-            eq = F.col(f"new.{c}").eqNullSafe(F.col(f"base.{c}"))
-            cond = eq if cond is None else (cond & eq)
-        delta = new.join(base, on=cond, how="left_anti")
+        delta = self._delta_against(cur, new_triples)
         # dedup=True is a semantic no-op here (the anti-join output is already
         # distinct) but reuses the join's full-key partitioning: the fused
         # distinct adds no exchange, whereas the non-dedup path would
@@ -215,6 +205,40 @@ class GraphTable:
         snap["pred_buckets"] = {**cur.get("pred_buckets", {}), **snap["pred_buckets"]}
         self._write_manifest(m)
         return sid
+
+    def _delta_against(self, cur: dict, new_triples: DataFrame) -> DataFrame:
+        """Rows of ``new_triples`` not present in the ``cur`` snapshot chain.
+
+        The parent side of the anti-join is PRUNED to the predicate buckets
+        the incoming batch actually touches, resolved through the manifest's
+        write-time ``pred_buckets`` map (JVM-hash parity for free): a delta
+        touching few predicates scans only those partition directories, so
+        merge cost tracks the touched partitions, not the graph. A batch
+        whose predicates are all new to the graph skips the join entirely.
+
+        Equality is NULL-SAFE on every key: o_datatype/o_lang/g_value are
+        nullable and plain ``=`` treats NULL != NULL, which would re-append
+        every NULL-bearing triple on each merge (caught by the idempotence
+        test). eqNullSafe keeps the anti-join an ordinary hash join.
+        """
+        new = new_triples.dropDuplicates(list(TRIPLE_COLUMNS)).alias("new")
+        pred_map = cur.get("pred_buckets", {})
+        new_preds = [r.p_value for r in new.select("p_value").distinct().collect()]
+        buckets = sorted({pred_map[p] for p in new_preds if p in pred_map})
+        if not buckets:
+            return new  # nothing the graph already knows can overlap
+        parent_dirs = cur.get("dirs", [cur["dir"]])
+        base = (
+            self._read_dirs(parent_dirs)
+            .where(F.col("pred_bucket").isin(buckets))  # prunes directories
+            .drop("pred_bucket")
+            .alias("base")
+        )
+        cond = None
+        for c in TRIPLE_COLUMNS:
+            eq = F.col(f"new.{c}").eqNullSafe(F.col(f"base.{c}"))
+            cond = eq if cond is None else (cond & eq)
+        return new.join(base, on=cond, how="left_anti")
 
     # -- read ----------------------------------------------------------------
     def _read_dirs(self, dirs: list[str]) -> DataFrame:

@@ -225,6 +225,23 @@ def test_graph_table_incremental_merge(spark, tables, tmp_path):
     # earlier snapshots stay readable (time travel along the chain)
     assert gt.read(s1).count() == n1
 
+    # disjoint-predicate delta: manifest bucket map proves no overlap is
+    # possible, so the anti-join is skipped entirely (no Join in the plan)
+    novel = triples.limit(5).withColumn("p_value", F.lit("http://new/pred"))
+    delta = gt._delta_against(gt.current_snapshot(), novel)
+    assert "Join" not in delta._jdf.queryExecution().optimizedPlan().toString()
+    gt.merge(novel)
+    assert gt.current_snapshot()["delta_rows"] == novel.distinct().count()
+    assert gt.read_predicate("http://new/pred").count() == novel.distinct().count()
+
+    # overlapping-predicate delta: the parent side is pruned to the touched
+    # predicate buckets before the anti-join
+    some = triples.where(F.col("p_value") == pred)
+    delta2 = gt._delta_against(gt.current_snapshot(), some)
+    plan2 = delta2._jdf.queryExecution().optimizedPlan().toString()
+    assert "pred_bucket" in plan2 and "Join" in plan2
+    assert delta2.count() == 0  # fully known -> empty
+
 
 def test_checkpointer_resume_and_lineage(spark, tmp_path):
     ck = StageCheckpointer(spark, str(tmp_path / "ck"))
