@@ -67,8 +67,13 @@ def child(job: str, master: str, cores: int) -> None:
     import __spark_entry__ as entry
     from p5_rdf_rdb2rdf_spark.session import get_spark
 
+    # FIXED initial shuffle-partition count at both topologies: partition
+    # width must be a function of the DATA, not the cluster size (AQE
+    # size-coalesces downward; it cannot split). cores*4 gave the
+    # memory-tight 1-exec side 4x fatter shuffle partitions and extra spill.
     spark = get_spark(
-        f"scale-{job}", cores=cores, shuffle_partitions=cores * 4,
+        f"scale-{job}", cores=cores,
+        shuffle_partitions=int(os.environ.get("SPARK_SCALE_SHUFFLE", "128")),
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     if job == "dm":

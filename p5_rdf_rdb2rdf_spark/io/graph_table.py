@@ -69,6 +69,7 @@ class GraphTable:
         mode: str = "overwrite",
         lineage: dict | None = None,
         dedup: bool = False,
+        distribute: bool = True,
     ) -> str:
         """Write triples; returns the new snapshot id.
 
@@ -84,9 +85,13 @@ class GraphTable:
         a first attempt that reused the repartition's clustering for the
         aggregate was silently re-ordered by Catalyst back into two
         exchanges). Worst-case file count rises to tasks x buckets;
-        ``maxRecordsPerFile`` and AQE partition coalescing bound it.
-        Callers whose input is already distinct (compile_mapping output)
-        leave it False.
+        ``maxRecordsPerFile`` and AQE size-targeted partition coalescing
+        bound it. Callers whose input is already distinct (compile_mapping
+        output) leave it False. ``distribute=False`` additionally skips the
+        write repartition when the input is already well-partitioned by an
+        upstream shuffle (e.g. the KG pipeline's compact-key dedups) — the
+        caller vouches the distribution is skew-free, and the write adds
+        NO exchange at all.
         """
         if self.iceberg:
             # Iceberg hidden partitioning: partitionedBy(bucket(K, p_value))
@@ -124,9 +129,11 @@ class GraphTable:
         # round-2 KG scaling profile). The subject sub-key spreads each
         # bucket across the cluster while .partitionBy keeps the directory
         # layout — multiple files per bucket directory, pruning unchanged.
-        if dedup:
-            # the distinct's full-key exchange is the write's distribution;
-            # local sort only groups rows by target directory within a task
+        if dedup or not distribute:
+            # the caller's existing partitioning (the distinct's full-key
+            # exchange, or an upstream dedup/join the caller vouches for via
+            # distribute=False) is the write's distribution; the local sort
+            # only groups rows by target directory within a task
             df = df.sortWithinPartitions("pred_bucket")
         else:
             n_tasks = max(

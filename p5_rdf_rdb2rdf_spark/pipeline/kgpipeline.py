@@ -52,24 +52,37 @@ class PipelineResult:
 
 class _NullCheckpointer:
     """In-memory stage runner (benchmarks / exploratory runs): identical
-    control flow, no per-stage parquet writes. Stage outputs are persisted
-    and materialized once — without this every downstream consumer re-runs
-    the whole upstream chain (corpus synthesis + pandas-UDF extraction),
-    which measured ~5x slower than the stage sum."""
+    control flow, no per-stage parquet writes. Multi-consumer stage outputs
+    are persisted and materialized once — without this every downstream
+    consumer re-runs the whole upstream chain (corpus synthesis + pandas-UDF
+    extraction), which measured ~5x slower than the stage sum.
 
-    def __init__(self) -> None:
+    Stages named in ``fuse`` have exactly ONE downstream consumer, so their
+    persist+count is pure overhead — an extra barrier plus a cache
+    write+read of the pipeline's largest frames (spans, triples). Fused
+    stages stay lazy and whole-stage-codegen/Arrow-fuse into their consumer;
+    their lineage rows are recorded as None (the checkpointed path, which is
+    the resume/lineage contract, always materializes and counts)."""
+
+    def __init__(self, fuse: set[str] | None = None) -> None:
         self._lineage: dict = {"stages": {}}
+        self._fuse = fuse or set()
 
     def run_stage(self, stage, fn, inputs=None, meta=None, force=False):
         import time
 
         t0 = time.time()
-        df = fn().persist()
-        rows = df.count()  # materialize now; later stages reuse the cache
+        if stage in self._fuse:
+            df = fn()
+            rows = None  # stays lazy: fused into the single consumer
+        else:
+            df = fn().persist()
+            rows = df.count()  # materialize now; later stages reuse the cache
         self._lineage["stages"][stage] = {
             "inputs": inputs or [],
             "meta": meta or {},
             "rows": rows,
+            "fused": stage in self._fuse,
             "wall_sec": round(time.time() - t0, 2),
         }
         return df
@@ -86,7 +99,14 @@ def run_pipeline(
     audit_invariant: bool = True,
     checkpoint: bool = True,
 ) -> PipelineResult:
-    ckpt = StageCheckpointer(spark, workdir) if checkpoint else _NullCheckpointer()
+    if checkpoint:
+        ckpt = StageCheckpointer(spark, workdir)
+    else:
+        # single-consumer stages fuse into their consumer (no persist/count
+        # barrier): triples -> fused distinct+write always; spans -> relation
+        # extraction unless the invariant audit needs spans twice
+        fuse = {"s5_triples"} | (set() if audit_invariant else {"s1_spans"})
+        ckpt = _NullCheckpointer(fuse=fuse)
     vocab = entity_vocab()
     dictionary = entity_dictionary(spark, vocab)
 
@@ -128,6 +148,15 @@ def run_pipeline(
     canon = ckpt.run_stage("s4_canon", _canon, inputs=["s3_links"])
 
     def _triples() -> DataFrame:
+        """Distinct triples, deduplicated on COMPACT keys BEFORE IRI
+        construction: the set-semantics shuffle carries (subj_entity, pred,
+        obj_entity) / (doc_id, subj_entity) — short ids — and the IRI string
+        concatenation runs post-shuffle on the already-distinct rows. At
+        10^12 docs this cuts the dominant shuffle's bytes by the IRI-prefix
+        expansion factor (~3-4x measured) versus deduplicating the full
+        8-column triple rows. Fact and provenance sets dedup independently
+        (they can never collide — different predicates) and the output is
+        globally distinct by construction."""
         c = F.broadcast(canon)
         subj = c.withColumnRenamed("surface", "subj_surface").withColumnRenamed(
             "entity_id", "subj_entity"
@@ -136,38 +165,49 @@ def run_pipeline(
             "entity_id", "obj_entity"
         )
         rel = relations.join(subj, "subj_surface", "inner").join(obj, "obj_surface", "inner")
-        fact = rel.select(
-            F.lit(KIND_IRI).alias("s_kind"),
-            F.concat(F.lit(KG), F.col("subj_entity")).alias("s_value"),
-            F.col("pred").alias("p_value"),
-            F.lit(KIND_IRI).alias("o_kind"),
-            F.concat(F.lit(KG), F.col("obj_entity")).alias("o_value"),
+        nulls = [
             F.lit(None).cast("string").alias("o_datatype"),
             F.lit(None).cast("string").alias("o_lang"),
             F.lit(None).cast("string").alias("g_value"),
+        ]
+        fact = (
+            rel.select("subj_entity", "pred", "obj_entity")
+            .dropDuplicates()
+            .select(
+                F.lit(KIND_IRI).alias("s_kind"),
+                F.concat(F.lit(KG), F.col("subj_entity")).alias("s_value"),
+                F.col("pred").alias("p_value"),
+                F.lit(KIND_IRI).alias("o_kind"),
+                F.concat(F.lit(KG), F.col("obj_entity")).alias("o_value"),
+                *nulls,
+            )
         )
-        prov = rel.select(
-            F.lit(KIND_IRI).alias("s_kind"),
-            F.concat(F.lit(DOC_NS), F.col("doc_id")).alias("s_value"),
-            F.lit(MENTIONS_PRED).alias("p_value"),
-            F.lit(KIND_IRI).alias("o_kind"),
-            F.concat(F.lit(KG), F.col("subj_entity")).alias("o_value"),
-            F.lit(None).cast("string").alias("o_datatype"),
-            F.lit(None).cast("string").alias("o_lang"),
-            F.lit(None).cast("string").alias("g_value"),
+        prov = (
+            rel.select("doc_id", "subj_entity")
+            .dropDuplicates()
+            .select(
+                F.lit(KIND_IRI).alias("s_kind"),
+                F.concat(F.lit(DOC_NS), F.col("doc_id")).alias("s_value"),
+                F.lit(MENTIONS_PRED).alias("p_value"),
+                F.lit(KIND_IRI).alias("o_kind"),
+                F.concat(F.lit(KG), F.col("subj_entity")).alias("o_value"),
+                *nulls,
+            )
         )
         return fact.unionByName(prov)
 
     triples = ckpt.run_stage("s5_triples", _triples, inputs=["s2_relations", "s4_canon"])
 
     table = GraphTable(spark, f"{workdir}/graph", n_buckets=n_buckets)
-    # set semantics fused with the write shuffle: GraphTable dedups AFTER its
-    # (pred_bucket, s_value) repartition, so the whole materialization is ONE
-    # exchange of the triple set instead of dropDuplicates + repartition = two
+    # _triples output is distinct by construction (compact-key dedup above),
+    # so the write keeps the dedup shuffle's partitioning and adds NO further
+    # exchange (distribute=False); the whole materialization costs exactly
+    # the two compact-key shuffles.
     snapshot_id = table.write(
         triples,
         lineage={"stages": list(ckpt.lineage()["stages"])},
-        dedup=True,
+        dedup=False,
+        distribute=False,
     )
     return PipelineResult(
         triples=table.read(snapshot_id), snapshot_id=snapshot_id, lineage=ckpt.lineage()

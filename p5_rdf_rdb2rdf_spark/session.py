@@ -41,7 +41,18 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce post-shuffle partitions by DATA SIZE, not executor count:
+        # with parallelismFirst (the default) the partition count — and with
+        # partitionBy, the output FILE count — scales with cores, so a bigger
+        # cluster writes more, smaller files through the same committer; a
+        # measured anti-scaling term in the graph-write tail. Size-targeted
+        # coalescing makes layout a function of the data alone.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # task-direct output commit (v2): job commit is O(1) renames instead
+        # of O(files) — the final serial section of every large write
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
