@@ -14,6 +14,7 @@ import sys
 from collections.abc import Callable
 from pathlib import Path
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -789,6 +790,53 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(chunks).alias("n_chunks"),
         F.size(F.array_distinct(chunks)).alias("n_distinct_chunks"),
+    )
+
+
+@_q(
+    "multimodal_video_meta",
+    """
+    SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_ref,
+           CAST(600 + (doc_id % 5) * 300 AS BIGINT) AS timescale,
+           CAST(1000 + doc_id * 7 AS BIGINT) AS duration_units
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ISO-BMFF mvhd parsing under oracle check: each doc gets a
+    deterministic MP4 payload (ftyp + moov/mvhd; version 0/1 alternating by
+    doc parity, exercising both header layouts) whose timescale/duration are
+    pure integer arithmetic of doc_id; the box-walk kernel must recover
+    exactly the closed-form values DuckDB computes. This puts the binary
+    media plumbing (Arrow binary transfer + struct-read kernel) under the
+    same oracle gate as the relational operators."""
+    from p5_rdf_rdb2rdf_spark.ops.multimodal import probe_video_duration
+
+    docs = _load(spark, sf_dir, ["documents"])["documents"].where("doc_id < 200")
+
+    @F.pandas_udf("binary")
+    def mp4(doc_ids: pd.Series) -> pd.Series:
+        import struct
+
+        def build(d: int) -> bytes:
+            ts, dur = 600 + (d % 5) * 300, 1000 + d * 7
+            ftyp = struct.pack(">I", 16) + b"ftypisom" + b"\x00\x00\x02\x00"
+            if d % 2 == 0:
+                body = b"\x00\x00\x00\x00" + struct.pack(">IIII", 0, 0, ts, dur)
+            else:
+                body = b"\x01\x00\x00\x00" + struct.pack(">QQIQ", 0, 0, ts, dur)
+            mvhd = struct.pack(">I", 8 + len(body)) + b"mvhd" + body
+            return ftyp + struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+
+        return doc_ids.map(build)
+
+    media = docs.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.lit("video").alias("kind"),
+        mp4(F.col("doc_id")).alias("payload"),
+    )
+    return probe_video_duration(media).select(
+        "media_ref", "timescale", "duration_units"
     )
 
 
