@@ -88,7 +88,9 @@ def child(job: str, master: str, cores: int) -> None:
                 (F.col("l_linenumber") * DM_SCALE_MULT + F.col("__r")).cast("int"),
             )
             .drop("__r")
-            .repartition(cores * 4)
+            # fixed width for the same reason as the shuffle partitions:
+            # cache granularity must be a function of the data, not cores
+            .repartition(64)
             .persist()
         )
         li.count()  # replication materialized OUTSIDE the timed window

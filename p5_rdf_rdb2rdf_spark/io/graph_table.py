@@ -247,6 +247,27 @@ class GraphTable:
             cond = eq if cond is None else (cond & eq)
         return new.join(base, on=cond, how="left_anti")
 
+    def compact(self, snapshot_id: str | None = None, lineage: dict | None = None) -> str:
+        """Rewrite a delta chain into a single-directory snapshot.
+
+        ``merge`` keeps write cost O(|delta|) by chaining directories, but an
+        unbounded chain degrades reads (one scan branch per link) and the
+        anti-join's parent side (multi-dir union). Compaction is the standard
+        counterpart: one fused-dedup write of the chain (the chain is
+        distinct by construction, so the dedup is a partitioning no-op that
+        still yields the single-exchange write path), producing a snapshot
+        whose manifest has ONE directory and a freshly-computed
+        predicate->bucket map. Earlier snapshots — including the compacted
+        chain's links — remain readable (time travel unaffected). Run it
+        every K merges or when the chain length crosses a read-latency
+        budget; on Iceberg the equivalent is rewrite_data_files.
+        """
+        snap = self._snapshot(snapshot_id)
+        chain = snap.get("dirs", [snap["dir"]])
+        df = self._read_dirs(chain).drop("pred_bucket")
+        base_lineage = {"compacted_from": snap["id"], "chain_len": len(chain)}
+        return self.write(df, lineage={**base_lineage, **(lineage or {})}, dedup=True)
+
     # -- read ----------------------------------------------------------------
     def _read_dirs(self, dirs: list[str]) -> DataFrame:
         # explicit schema: an empty delta directory has no files to infer from

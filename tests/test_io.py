@@ -242,6 +242,21 @@ def test_graph_table_incremental_merge(spark, tables, tmp_path):
     assert "pred_bucket" in plan2 and "Join" in plan2
     assert delta2.count() == 0  # fully known -> empty
 
+    # compaction: the chain collapses to a single-directory snapshot with
+    # identical content, a rebuilt bucket map, and time travel intact
+    pre = sorted(map(tuple, gt.read().collect()))
+    chain_len = len(gt.current_snapshot()["dirs"])
+    assert chain_len >= 3
+    sc = gt.compact()
+    snapc = gt.current_snapshot()
+    assert snapc["id"] == sc and "dirs" not in snapc  # single directory again
+    assert snapc["lineage"]["chain_len"] == chain_len
+    assert sorted(map(tuple, gt.read().collect())) == pre
+    assert set(snapc["pred_buckets"]) == {t[2] for t in pre}
+    assert gt.read(s1).count() == n1  # pre-compaction snapshots still readable
+    # post-compaction merge anti-joins against ONE directory
+    assert gt._delta_against(snapc, some).count() == 0
+
 
 def test_checkpointer_resume_and_lineage(spark, tmp_path):
     ck = StageCheckpointer(spark, str(tmp_path / "ck"))
