@@ -118,6 +118,8 @@ class TurtleParser:
         return self.tokens[self.pos] if self.pos < len(self.tokens) else None
 
     def _next(self) -> tuple[str, str]:
+        if self.pos >= len(self.tokens):
+            raise ValueError("turtle: unexpected end of input")
         t = self.tokens[self.pos]
         self.pos += 1
         return t
@@ -182,6 +184,8 @@ class TurtleParser:
             return
 
     def _verb(self) -> Term:
+        if self._peek() is None:
+            raise ValueError("turtle: unexpected end of input")
         k, v = self._peek()
         if k == "a":
             self._next()

@@ -249,6 +249,61 @@ def test_media_features_normalized(spark):
         assert abs(np.linalg.norm(v) - 1.0) < 1e-5
 
 
+def test_media_kernels_total_on_arbitrary_bytes():
+    """The struct-read kernels run inside executors over untrusted payloads:
+    they must be TOTAL functions — any byte string yields a result or a
+    clean fallback, never an exception (a throwing kernel fails the whole
+    Spark task and, with retries, the job). Hypothesis drives arbitrary
+    bytes plus adversarial prefixes of the real magic numbers."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from p5_rdf_rdb2rdf_spark.ops.multimodal import (
+        _decode_audio_kernel,
+        _decode_image_kernel,
+        _jpeg_sof_dims,
+        _mp4_mvhd,
+        _wav_meta,
+    )
+
+    prefixes = st.sampled_from(
+        [b"", b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"\xff\xd8\xff", b"RIFF",
+         b"RIFF\x00\x00\x00\x00WAVE", b"\x00\x00\x00\x08ftyp", b"\x00\x00\x00\x01",
+         b"RIFF\xff\xff\xff\xffWAVEfmt ", b"\xff\xd8\xff\xc0\x00\x03"]
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(prefix=prefixes, tail=st.binary(max_size=200))
+    def run(prefix: bytes, tail: bytes):
+        payload = prefix + tail
+        w, h, c, fmt = _decode_image_kernel(payload)
+        assert isinstance(fmt, str)
+        sr, ch, bits, n, afmt = _decode_audio_kernel(payload)
+        assert isinstance(afmt, str)
+        r = _jpeg_sof_dims(payload)
+        assert r is None or len(r) == 3
+        r = _wav_meta(payload)
+        assert r is None or len(r) == 4
+        r = _mp4_mvhd(payload)
+        assert r is None or len(r) == 2
+
+    run()
+
+
+def test_mp4_walk_terminates_on_zero_size_boxes():
+    """A box declaring size 0 means 'extends to end of file' — a walker that
+    treats it as a zero-length box loops forever. Also: size < header is
+    malformed and must end the walk, not recurse."""
+    from p5_rdf_rdb2rdf_spark.ops.multimodal import _mp4_mvhd
+
+    # ftyp, then a box with size=0 that is NOT moov -> walk must stop
+    p = b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00" + b"\x00\x00\x00\x00free" + b"x" * 64
+    assert _mp4_mvhd(p) is None
+    # malformed: size 4 (< 8-byte header)
+    p2 = b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00" + b"\x00\x00\x00\x04moov"
+    assert _mp4_mvhd(p2) is None
+
+
 def test_sample_frames_shape(spark):
     media = _media(spark)
     frames = sample_frames(media, every_n_bytes=128, max_frames=4)

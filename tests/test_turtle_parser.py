@@ -152,6 +152,32 @@ def test_lang_tags_and_sparql_style_directives():
     assert rel[2] == ("iri", "http://base.org/doc/other")
 
 
+def test_parser_total_on_arbitrary_input():
+    """Mapping documents come from users: the parser must either parse or
+    raise ValueError — never IndexError/TypeError from truncated input
+    (hypothesis over arbitrary text plus adversarial truncations of valid
+    Turtle)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    valid = '@prefix ex: <http://e/> . ex:s ex:p "v"@en ; a ex:T ; ex:q ( 1 2.0 [ ex:r true ] ) .'
+
+    @settings(max_examples=400, deadline=None)
+    @given(
+        st.one_of(
+            st.text(max_size=80),
+            st.integers(0, len(valid)).map(lambda i: valid[:i]),
+        )
+    )
+    def run(text: str):
+        try:
+            parse_turtle(text)
+        except ValueError:
+            pass  # the one allowed failure mode
+
+    run()
+
+
 def test_bad_token_and_undeclared_prefix_raise():
     with pytest.raises(ValueError, match="undeclared prefix"):
         parse_turtle("nope:s nope:p nope:o .")
