@@ -41,14 +41,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # coalesce post-shuffle partitions by DATA SIZE, not executor count:
-        # with parallelismFirst (the default) the partition count — and with
-        # partitionBy, the output FILE count — scales with cores, so a bigger
-        # cluster writes more, smaller files through the same committer; a
-        # measured anti-scaling term in the graph-write tail. Size-targeted
-        # coalescing makes layout a function of the data alone.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        # NOTE on AQE coalescing: `parallelismFirst=false` (size-targeted
+        # coalescing) was tried as a default and REVERTED — it equalizes
+        # output-file layout across cluster sizes, but at small data volumes
+        # it coalesces a shuffle below the core count and strands cores
+        # (measured on the local[32] bench). Spark's parallelism-first
+        # default is kept; what actually mattered for cross-topology
+        # comparability was pinning the INITIAL shuffle-partition width to a
+        # data-appropriate constant (see bench_headline_scaling.py).
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # task-direct output commit (v2): job commit is O(1) renames instead
         # of O(files) — the final serial section of every large write
