@@ -94,6 +94,8 @@ def _jpeg_sof_dims(payload: bytes) -> tuple[int, int, int] | None:
         # skip fill bytes (spec allows any number of 0xFF before a marker)
         while pos + 1 < n and payload[pos + 1] == 0xFF:
             pos += 1
+        if pos + 1 >= n:  # stream ends inside 0xFF padding
+            return None
         marker = payload[pos + 1]
         pos += 2
         if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
