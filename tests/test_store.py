@@ -58,6 +58,47 @@ def test_dm_store_matches_materialized(spark, tables):
     assert lazy.get_statements(g="http://example.com/g1").count() == 0
 
 
+def test_dm_iri_decode_inverts_encode_property(spark):
+    """The lazy store's whole correctness rests on the DM IRI scheme being
+    invertible: decode(encode(table, pk_values)) must round-trip for ANY
+    table/column/value strings, including ';' '=' '%' '/' '#' and unicode
+    (the separators themselves must survive percent-encoding). Property-
+    driven over the same iri_safe encoder the compiler uses."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from p5_rdf_rdb2rdf_spark.iri import iri_safe_py
+    from p5_rdf_rdb2rdf_spark.store import DirectMappingStore
+
+    BASE = "http://example.com/base/"
+    txt = st.text(min_size=1, max_size=12).filter(lambda s: s.strip() == s and s)
+
+    @settings(max_examples=120, deadline=None)
+    @given(table=txt, cols=st.lists(txt, min_size=1, max_size=3, unique=True),
+           vals=st.data())
+    def run(table, cols, vals):
+        values = [vals.draw(txt) for _ in cols]
+        store = DirectMappingStore.__new__(DirectMappingStore)
+        store.base = BASE
+        store.tables = {table: None}
+        store.manifest = {table: {"pk": cols, "fks": []}}
+        # encode exactly as the compiler's row-node template does
+        pairs = ";".join(
+            f"{iri_safe_py(c)}={iri_safe_py(v)}" for c, v in zip(cols, values)
+        )
+        iri = f"{BASE}{iri_safe_py(table)}/{pairs}"
+        dec = store._decode_subject(iri)
+        assert dec is not None, iri
+        assert dec.table == table
+        assert dec.pk_values == dict(zip(cols, values)), iri
+
+        pred = f"{BASE}{iri_safe_py(table)}#{iri_safe_py(cols[0])}"
+        decp = store._decode_predicate(pred)
+        assert decp is not None and decp.table == table and decp.column == cols[0]
+
+    run()
+
+
 def test_dm_store_unknown_iris_empty(spark, tables):
     lazy = DirectMappingStore(spark, {"books": tables["books"]}, CONSTRAINTS, base=BASE)
     assert lazy.get_statements(s="http://other/base/books/book_id=1").count() == 0
