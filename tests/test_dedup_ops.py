@@ -178,6 +178,17 @@ def test_embedding_neardup_auto_bucket_infers_dim(spark):
     from p5_rdf_rdb2rdf_spark.ops.similarity import hyperplane_bucket
 
     rows = [(i, [float((i * 13 + d * 7) % 11 - 5) for d in range(8)]) for i in range(40)]
+    # ADVICE r3 #2: an EMPTY embedding must not crash dim inference —
+    # sequence(0, size-1) with size=0 is sequence(0,-1)=[0,-1] and
+    # try_element_at(vec, 0) throws INVALID_INDEX_OF_ZERO without the clamp.
+    # It lands deterministically in bucket 0 (every dot is exactly 0).
+    rows_with_empty = rows + [(999, [])]
+    df = spark.createDataFrame(rows_with_empty, "vec_id long, embedding array<double>")
+    inferred = df.select(
+        "vec_id", hyperplane_bucket(F.col("embedding"), n_planes=4).alias("b")
+    )
+    empty_bucket = {r.b for r in inferred.where("vec_id = 999").collect()}
+    assert empty_bucket == {0}
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     inferred = df.select(
         "vec_id", hyperplane_bucket(F.col("embedding"), n_planes=4).alias("b")
