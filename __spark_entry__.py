@@ -840,17 +840,58 @@ def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("multimodal_features")  # rows-only: stubbed decode kernels (see ops/multimodal.py)
+@_q(
+    "multimodal_features",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             100 + doc_id % 97 AS n,
+             (16 - doc_id % 16) % 16 AS r0
+      FROM documents WHERE doc_id < 200
+    ), c AS (
+      SELECT doc_id,
+             CAST((n - r0 + 15) // 16 AS DOUBLE) AS c0,
+             CAST(n % 16 AS DOUBLE) AS s,
+             CAST(n // 16 AS DOUBLE) AS q
+      FROM d
+    )
+    SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_ref,
+           round(c0 / sqrt(s * (q + 1) * (q + 1) + (16 - s) * q * q), 5) AS f0
+    FROM c
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from p5_rdf_rdb2rdf_spark.ops.multimodal import fetch_media, media_features
-    from p5_rdf_rdb2rdf_spark.pipeline.corpus import spans_from_documents
-    from p5_rdf_rdb2rdf_spark.pipeline.spans import explode_spans
+    """media_features under a CLOSED-FORM oracle (VERDICT r3 next-round #3,
+    same trick as multimodal_video_meta): each doc gets a payload of
+    n = 100 + doc_id % 97 bytes with byte_i = (i + doc_id) % 16, so the
+    dim-16 histogram bucket counts are integer arithmetic of doc_id —
+    bucket 0 holds ceil((n - r0)/16) bytes with r0 = (-doc_id) mod 16, and
+    the squared norm is s(q+1)^2 + (16-s)q^2 for n = 16q + s (the rotation
+    by doc_id permutes buckets, leaving the norm doc-independent). DuckDB
+    computes f0 = c0/||hist|| exactly; the kernel's numpy histogram fold +
+    normalize must reproduce it. Rounded at 5dp, not 6: the feature column
+    is array<float> (float32), and 3 of the 200 payloads round differently
+    at 6dp through float32 — verified exhaustively offline; at 5dp all 200
+    agree and the inputs are deterministic, so the gate is stable."""
+    from p5_rdf_rdb2rdf_spark.ops.multimodal import media_features
 
-    docs = _load(spark, sf_dir, ["documents"])["documents"]
-    spans = explode_spans(spans_from_documents(docs))
-    media = fetch_media(spans)
+    docs = _load(spark, sf_dir, ["documents"])["documents"].where("doc_id < 200")
+
+    @F.pandas_udf("binary")
+    def payload(doc_ids: pd.Series) -> pd.Series:
+        def build(d: int) -> bytes:
+            n = 100 + d % 97
+            return bytes((i + d) % 16 for i in range(n))
+
+        return doc_ids.map(build)
+
+    media = docs.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.lit("image").alias("kind"),
+        payload(F.col("doc_id")).alias("payload"),
+    )
     return media_features(media, dim=16).select(
-        "media_ref", F.round(F.element_at("feature", 1), 6).alias("f0")
+        "media_ref", F.round(F.element_at("feature", 1).cast("double"), 5).alias("f0")
     )
 
 

@@ -236,6 +236,20 @@ def test_decode_images_real_jpeg_sof(spark):
     assert (got["j2"].width, got["j2"].height, got["j2"].channels, got["j2"].format) == (123, 45, 1, "jpeg")
 
 
+def test_jpeg_sof_truncated_at_component_byte():
+    """ADVICE r3 #4: a stream ending EXACTLY at the SOF component-count byte
+    must be rejected (None), not reported as a fabricated 0-channel image;
+    one byte more and the walk succeeds with the real channel count."""
+    import struct
+
+    from p5_rdf_rdb2rdf_spark.ops.multimodal import _jpeg_sof_dims
+
+    head = b"\xff\xd8\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 20, 10)
+    assert len(head) == 11  # component byte would sit at index 11 — absent
+    assert _jpeg_sof_dims(head) is None
+    assert _jpeg_sof_dims(head + b"\x03") == (10, 20, 3)
+
+
 def test_media_features_normalized(spark):
     media = _media(spark)
     feats = media_features(media, dim=16)
