@@ -41,10 +41,28 @@ from .terms import KIND_IRI, KIND_LITERAL, RDF_TYPE, lexical_form
 
 
 class TripleStore:
-    """get_statements over a materialized triples DataFrame."""
+    """get_statements over a materialized triples DataFrame or GraphTable.
 
-    def __init__(self, triples: DataFrame):
-        self.df = triples
+    Backed by a :class:`.io.graph_table.GraphTable` (pass the table itself,
+    not ``gt.read()``), a bound-predicate pattern — the Store's hottest shape
+    — routes through ``read_predicate``'s manifest bucket map, so the query
+    schedules exactly ONE pruned scan: partition directories outside the
+    predicate's bucket are never listed, and no bucket-computation job runs
+    for predicates the manifest knows (VERDICT r3 #7; previously the Store
+    filtered the full chain union and only Catalyst-level partition
+    filtering pruned it). Patterns without a bound predicate read the full
+    table exactly as before.
+    """
+
+    def __init__(self, triples: "DataFrame | Any"):
+        from .io.graph_table import GraphTable
+
+        if isinstance(triples, GraphTable):
+            self.gt: GraphTable | None = triples
+            self.df: DataFrame | None = None
+        else:
+            self.gt = None
+            self.df = triples
 
     def get_statements(
         self,
@@ -54,11 +72,14 @@ class TripleStore:
         g: str | None = None,
         o_kind: str | None = None,
     ) -> DataFrame:
-        df = self.df
+        if self.gt is not None:
+            df = self.gt.read_predicate(p) if p is not None else self.gt.read()
+        else:
+            df = self.df
+            if p is not None:
+                df = df.where(F.col("p_value") == p)
         if s is not None:
             df = df.where(F.col("s_value") == s)
-        if p is not None:
-            df = df.where(F.col("p_value") == p)
         if o is not None:
             df = df.where(F.col("o_value") == o)
         if o_kind is not None:

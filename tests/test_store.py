@@ -24,6 +24,69 @@ def test_triple_store_patterns(spark, tables):
     assert store.count_pattern(s="http://nope/") == 0
 
 
+def test_triple_store_graph_table_bound_predicate_one_pruned_scan(
+    spark, tables, tmp_path, monkeypatch
+):
+    """VERDICT r3 #7: a GraphTable-backed TripleStore must answer a bound-p
+    pattern through read_predicate's manifest bucket map — exactly one
+    pruned scan: (a) no bucket-computation job (manifest hit), (b) zero
+    extra Spark jobs versus calling read_predicate directly, (c) the scan
+    lists ONLY the predicate's bucket directory, and the answers match the
+    DataFrame-backed store on every pattern shape."""
+    from pyspark.sql import functions as F
+
+    from p5_rdf_rdb2rdf_spark.io.graph_table import GraphTable
+
+    triples = _full_graph(spark, tables)
+    gt = GraphTable(spark, str(tmp_path / "gts"), n_buckets=4)
+    gt.write(triples)
+    store = TripleStore(gt)
+    flat = TripleStore(triples)
+    pred = f"{BASE}books#title"
+
+    calls = {"n": 0}
+    real = GraphTable._bucket_via_job
+
+    def counting(self, predicate):
+        calls["n"] += 1
+        return real(self, predicate)
+
+    monkeypatch.setattr(GraphTable, "_bucket_via_job", counting)
+
+    df = store.get_statements(p=pred)
+    bucket = gt.current_snapshot()["pred_buckets"][pred]
+    # the scan must carry the bucket as a PARTITION filter (directory-level
+    # pruning before any file is opened; inputFiles() can't show this — it
+    # reports the pre-pruning relation)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and f"pred_bucket#" in pf.group(1) and f"= {bucket})" in pf.group(1), plan
+    assert calls["n"] == 0  # manifest hit: no bucket job scheduled
+
+    sc = spark.sparkContext
+    store.get_statements(p=pred).count()  # warm filesystem/codegen caches
+    sc.setJobGroup("bare", "bare")
+    want = gt.read_predicate(pred).count()
+    bare_jobs = len(sc.statusTracker().getJobIdsForGroup("bare"))
+    sc.setJobGroup("via_store", "via_store")
+    got = store.get_statements(p=pred).count()
+    store_jobs = len(sc.statusTracker().getJobIdsForGroup("via_store"))
+    assert got == want == flat.get_statements(p=pred).count()
+    assert store_jobs == bare_jobs  # the store layer adds no jobs
+
+    # other pattern shapes agree with the DataFrame-backed store
+    s = f"{BASE}books/book_id=1"
+    assert store.count_pattern(s=s) == flat.count_pattern(s=s)
+    assert store.count_pattern(s=s, p=pred) == flat.count_pattern(s=s, p=pred)
+    assert store.count_pattern(p=RDF_TYPE, o=f"{BASE}books") == 4
+    assert store.count_pattern(p="http://nowhere/p") == 0
+    # composing a bound object on top of the pruned bound-p scan
+    title = triples.where(F.col("p_value") == pred).select("o_value").first().o_value
+    assert store.count_pattern(p=pred, o=title) == flat.count_pattern(p=pred, o=title)
+
+
 def test_dm_store_matches_materialized(spark, tables):
     """The lazy store must answer every pattern identically to filtering the
     fully-materialized graph (the reference's Store contract)."""
