@@ -44,6 +44,14 @@ MANIFEST = "_snapshots.json"
 # so pruning would have bought little.
 MAX_PRUNE_PREDICATES = 256
 
+# write() keeps the manifest's predicate->bucket map only up to this many
+# distinct predicates; beyond it (generic wide property graphs) the map is
+# dropped and bound-predicate reads fall back to the memoized bucket job —
+# a manifest must stay a small driver-side JSON document, not scale with the
+# vocabulary. (At that width the Iceberg backend, whose partition metadata
+# is file-backed, is the right home for the mapping anyway.)
+MAX_MANIFEST_PREDICATES = 100_000
+
 
 def _has_iceberg(spark: SparkSession, catalog: str | None) -> bool:
     if not catalog:
@@ -187,7 +195,17 @@ class GraphTable:
         )
         m = obs.get
         counts = {str(k): m[f"__b{k}"] for k in range(self.n_buckets) if m[f"__b{k}"]}
-        pred_buckets = {r["p_value"]: r["pred_bucket"] for r in m["__pred_pairs"]}
+        # The predicate->bucket map is |predicates|-sized: tiny for the KG
+        # pipeline's closed vocabulary, unbounded for generic wide property
+        # graphs. Past the cap the manifest stores no map (readers fall back
+        # to the memoized 1-row bucket job; merge pruning anti-joins
+        # un-pruned) rather than bloating every manifest read and driver
+        # metric transfer with a multi-million-entry dict — the same
+        # driver-materialization cap policy as MAX_PRUNE_PREDICATES.
+        if len(m["__pred_pairs"]) <= MAX_MANIFEST_PREDICATES:
+            pred_buckets = {r["p_value"]: r["pred_bucket"] for r in m["__pred_pairs"]}
+        else:
+            pred_buckets = {}
         manifest = self._read_manifest()
         manifest["snapshots"].append(
             {

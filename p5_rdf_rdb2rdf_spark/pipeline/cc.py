@@ -29,6 +29,7 @@ def connected_components(
     max_iter: int = 20,
     driver_threshold: int = 200_000,
     size_hint: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """-> (node, component) where component = min node id in the component.
 
@@ -49,7 +50,14 @@ def connected_components(
     (VERDICT r2 next-round #6). Size ``driver_threshold`` to driver memory:
     the fast path holds ~2 Python objects per edge endpoint (~100 MB at the
     200k default with long string ids).
+
+    ``stats`` (optional dict) is filled with run telemetry — ``path``
+    ('driver'|'distributed'), and for the distributed path ``n_nodes``,
+    ``partitions``, ``iterations`` and per-iteration ``iter_wall_sec`` /
+    ``iter_changed`` — the per-iteration shuffle profile the scaling bench
+    reports (VERDICT r3 next-round #5).
     """
+    import time as _time
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
@@ -103,6 +111,8 @@ def connected_components(
                     T.StructField("component", node_type, False),
                 ]
             )
+            if stats is not None:
+                stats.update(path="driver", n_edges=len(sample))
             return spark.createDataFrame(rows, schema)
 
     nodes = sym.select(F.col("u").alias("node")).distinct()
@@ -114,8 +124,14 @@ def connected_components(
     parts = max(1, min(edges.sparkSession.sparkContext.defaultParallelism, n_nodes // 50_000 + 1))
     labels = labels.repartition(parts, "node").localCheckpoint()
     sym = sym.repartition(parts, "u").localCheckpoint()
+    if stats is not None:
+        stats.update(
+            path="distributed", n_nodes=n_nodes, partitions=parts,
+            iterations=0, iter_wall_sec=[], iter_changed=[],
+        )
 
     for _ in range(max_iter):
+        _it0 = _time.time()
         # (1) neighbor's current label, propagated over edges (1 hop)
         neighbor = (
             sym.join(labels, sym["u"] == labels["node"], "inner")
@@ -151,6 +167,10 @@ def connected_components(
             .count()
         )
         labels = doubled
+        if stats is not None:
+            stats["iterations"] += 1
+            stats["iter_wall_sec"].append(round(_time.time() - _it0, 2))
+            stats["iter_changed"].append(changed)
         if changed == 0:
             break
     return labels
