@@ -180,6 +180,44 @@ def test_cc_chain_distributed_path(spark):
     assert comps.select("component").distinct().count() == 1
 
 
+def test_cc_frontier_matches_driver_on_random_graph(spark):
+    """The frontier-propagation loop (r4: only changed labels probe the edge
+    join; broadcast once small) must produce exactly the union-find answer on
+    an adversarial mix — stars, chains, rings, bridge edges merging them,
+    isolated pairs — under BOTH frontier regimes (always-shuffle via
+    frontier_broadcast_rows=0, and always-broadcast via a huge budget)."""
+    import random
+
+    from p5_rdf_rdb2rdf_spark.pipeline.cc import connected_components
+
+    rng = random.Random(42)
+    edges = []
+    for b in range(20):  # stars
+        for i in range(1, 8):
+            edges.append((b * 100, b * 100 + i))
+    for b in range(20, 30):  # chains
+        for i in range(1, 12):
+            edges.append((b * 100 + i - 1, b * 100 + i))
+    for b in range(30, 35):  # rings
+        for i in range(10):
+            edges.append((b * 100 + i, b * 100 + (i + 1) % 10))
+    for _ in range(25):  # random bridges merging blocks
+        edges.append((rng.randrange(35) * 100 + rng.randrange(8),
+                      rng.randrange(35) * 100 + rng.randrange(8)))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    want = sorted(map(tuple, connected_components(df).collect()))  # driver oracle
+    for budget in (0, 10**9):
+        got = sorted(
+            map(
+                tuple,
+                connected_components(
+                    df, driver_threshold=0, frontier_broadcast_rows=budget
+                ).collect(),
+            )
+        )
+        assert got == want, f"frontier_broadcast_rows={budget}"
+
+
 def test_cc_stats_hook(spark):
     """The optional stats dict records the path taken and, on the distributed
     path, the per-iteration shuffle profile the scaling bench reports
