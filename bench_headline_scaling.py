@@ -71,10 +71,15 @@ def child(job: str, master: str, cores: int) -> None:
     # width must be a function of the DATA, not the cluster size (AQE
     # size-coalesces downward; it cannot split). cores*4 gave the
     # memory-tight 1-exec side 4x fatter shuffle partitions and extra spill.
+    extra = {"spark.ui.showConsoleProgress": "false"}
+    if os.environ.get("SPARK_SCALE_CODEC"):
+        # shuffle/spill/broadcast block codec (e.g. zstd): on a disk-bound
+        # topology heavier compression trades spare CPU for shuffle bytes
+        extra["spark.io.compression.codec"] = os.environ["SPARK_SCALE_CODEC"]
     spark = get_spark(
         f"scale-{job}", cores=cores,
         shuffle_partitions=int(os.environ.get("SPARK_SCALE_SHUFFLE", "128")),
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf=extra,
     )
     if job == "dm":
         from p5_rdf_rdb2rdf_spark.direct_mapping import direct_map
@@ -137,24 +142,30 @@ def run_child(job: str, master: str, cores: int) -> dict:
     return json.loads(lines[-1])
 
 
+JOBS = tuple(os.environ.get("SPARK_SCALE_JOBS", "dm,kg").split(","))
+
+
 def main() -> None:
     _ensure_corpus()
     results: dict[tuple[str, str], list[dict]] = {}
     for _ in range(ROUNDS):
-        for job in ("dm", "kg"):
+        for job in JOBS:
             for master, cores in ((SMALL, EXEC_CORES), (BIG, EXEC_CORES * 4)):
                 r = run_child(job, master, cores)
                 results.setdefault((job, master), []).append(r)
                 print(f"  {job} @ {master}: {r['wall']}s ({r['rows']:,} triples)",
                       file=sys.stderr)
 
-    lines = ["", f"## Round-3 headline scaling run {time.strftime('%Y-%m-%d %H:%M:%S')} "
-             f"— {SMALL} vs {BIG} (separate executor JVMs, 1 vs 4 executors)", ""]
+    lines = ["", f"## Headline scaling run {time.strftime('%Y-%m-%d %H:%M:%S')} "
+             f"— {SMALL} vs {BIG} (separate executor JVMs, 1 vs 4 executors; "
+             f"interleaved A/B rounds, min of {ROUNDS})", ""]
     summary = {}
     for job, label, rows_note in (
         ("dm", "Direct Mapping", f"sf0.1 x{DM_SCALE_MULT} lineitem"),
         ("kg", "KG pipeline", f"{KG_DOCS:,} interleaved docs"),
     ):
+        if job not in JOBS:
+            continue
         small = min(results[(job, SMALL)], key=lambda r: r["wall"])
         big = min(results[(job, BIG)], key=lambda r: r["wall"])
         tps_s, tps_b = small["rows"] / small["wall"], big["rows"] / big["wall"]

@@ -1,3 +1,15 @@
-from .incremental import stream_mapping, stream_source, write_triples_stream
+from .incremental import (
+    stream_mapping,
+    stream_source,
+    streaming_first_seen,
+    windowed_triple_counts,
+    write_triples_stream,
+)
 
-__all__ = ["stream_mapping", "stream_source", "write_triples_stream"]
+__all__ = [
+    "stream_mapping",
+    "stream_source",
+    "streaming_first_seen",
+    "windowed_triple_counts",
+    "write_triples_stream",
+]

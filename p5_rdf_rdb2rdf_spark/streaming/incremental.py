@@ -87,3 +87,100 @@ def write_triples_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_triple_counts(
+    triples: DataFrame,
+    ts_col: str = "event_ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time windowed per-predicate triple counts with a watermark —
+    the streaming analog of the batch ``r2rml_events_daily`` aggregating
+    view (O17), and the late-data story the batch path can't express:
+    rows later than ``watermark`` behind the max seen event time are
+    dropped, which is what BOUNDS the aggregation state on an unbounded
+    stream (without it, every window ever opened stays in state forever —
+    the one unbounded-state shape a 10^12-doc streaming ingest cannot
+    carry). Emits (window_start, window_end, p_value, n_triples); append
+    output mode, so a window is emitted exactly once, when the watermark
+    passes it."""
+    from pyspark.sql import functions as F
+
+    return (
+        triples.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("p_value"))
+        .agg(F.count(F.lit(1)).alias("n_triples"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "p_value",
+            "n_triples",
+        )
+    )
+
+
+def streaming_first_seen(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "event_ts",
+    watermark: str = "2 hours",
+    state_ttl_hours: int | None = 24,
+):
+    """Custom stateful operator via ``applyInPandasWithState``: emit each key
+    the FIRST time it appears on the stream, suppress re-occurrences — the
+    streaming form of exact dedup (first-seen-wins), used to keep re-ingested
+    documents from re-entering the KG pipeline.
+
+    State per key is a single seen-marker (plus first-seen timestamp), so
+    state size tracks DISTINCT keys, not stream length; pass digest columns
+    (xxhash64 pair, as batch ``exact_dedup`` groups by) as ``key_cols`` so
+    the state store never holds document text. ``state_ttl_hours`` expires
+    idle keys via the state timeout (processing-time), bounding state for
+    genuinely unbounded key universes at the cost of re-admitting a key
+    that stays silent past the TTL — the standard trade; ``None`` keeps
+    state forever. Returns a streaming DataFrame with the input schema.
+
+    Arrow-vectorized per state group batch; no per-row Python outside the
+    grouped-batch kernel (input_hint: vectorized pandas/Arrow UDFs only).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = df.schema
+    state_schema = "seen long"
+    ttl_ms = None if state_ttl_hours is None else state_ttl_hours * 3600 * 1000
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        already = state.exists
+        batches = [pdf for pdf in pdf_iter if len(pdf)]
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)  # (re)arm the idle clock
+        if already or not batches:
+            return  # key known (or empty group): emit nothing
+        state.update((1,))
+        allrows = pd.concat(batches) if len(batches) > 1 else batches[0]
+        # deterministic representative: the min-event-time row of the first
+        # micro-batch that carried the key
+        yield allrows.sort_values(ts_col, kind="mergesort").head(1)
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(*key_cols)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=timeout,
+        )
+    )

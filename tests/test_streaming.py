@@ -109,3 +109,127 @@ def test_stream_r2rml_with_static_join(spark, tmp_path):
     got = {(r.s_value, r.o_value) for r in spark.read.parquet(out).collect()}
     assert ("http://e/o/100", "http://e/c/1") in got
     assert ("http://e/o/101", "http://e/c/2") in got
+
+
+def test_stream_windowed_counts_with_watermark(spark, tmp_path):
+    """Watermarked event-time windowed aggregation (the streaming analog of
+    the r2rml_events_daily view): windows are emitted once the watermark
+    passes them, and a row arriving LATER than the watermark behind max
+    event time is dropped — the property that bounds aggregation state on
+    an unbounded stream."""
+    import datetime as dt
+
+    from p5_rdf_rdb2rdf_spark.streaming import windowed_triple_counts
+
+    src = str(tmp_path / "wsrc")
+    out = str(tmp_path / "wout")
+    ckpt = str(tmp_path / "wckpt")
+    T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def rows(*specs):
+        return [
+            (T0 + dt.timedelta(minutes=m), f"http://e/p{p}", f"s{i}")
+            for i, (m, p) in enumerate(specs)
+        ]
+
+    schema = "event_ts timestamp, p_value string, s_value string"
+    spark.createDataFrame(
+        rows((5, 1), (20, 1), (70, 2)), schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = windowed_triple_counts(stream, window="1 hour", watermark="30 minutes")
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # batch 2: pushes max event time to T0+300min; at batch end the
+    # watermark advances to 270min and every earlier window is emitted
+    spark.createDataFrame(rows((300, 3)), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    # batch 3: a LATE row for the hour-0 window, arriving AFTER the
+    # watermark passed that window's end — must be dropped entirely (the
+    # window was finalized in batch 2; watermark semantics are per-batch,
+    # so the late row must come in its own batch to be late)
+    spark.createDataFrame(rows((6, 1)), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+
+    got = {
+        (r.window_start.hour, r.p_value): r.n_triples
+        for r in spark.read.parquet(out).collect()
+    }
+    # hour-0 p1 window: the two ON-TIME rows only — the late row is gone,
+    # and the finalized window was never re-emitted or corrected
+    assert got[(0, "http://e/p1")] == 2
+    assert got[(1, "http://e/p2")] == 1
+    # append mode: each window/predicate emitted exactly once across all runs
+    rows_out = spark.read.parquet(out).collect()
+    assert len(rows_out) == len(got)
+
+
+def test_streaming_first_seen_dedup_stateful(spark, tmp_path):
+    """applyInPandasWithState first-seen-wins dedup: a key re-appearing in a
+    later micro-batch (or again within the same batch) is suppressed; state
+    holds one marker per distinct key, not per row."""
+    import datetime as dt
+
+    from p5_rdf_rdb2rdf_spark.streaming import streaming_first_seen
+
+    src = str(tmp_path / "dsrc")
+    out = str(tmp_path / "dout")
+    ckpt = str(tmp_path / "dckpt")
+    T0 = dt.datetime(2024, 1, 1)
+    schema = "event_ts timestamp, doc_key long, payload string"
+
+    spark.createDataFrame(
+        [
+            (T0 + dt.timedelta(minutes=1), 7, "first-7"),
+            (T0 + dt.timedelta(minutes=2), 7, "dup-7-same-batch"),
+            (T0 + dt.timedelta(minutes=3), 8, "first-8"),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        dedup = streaming_first_seen(
+            stream, key_cols=["doc_key"], ts_col="event_ts", state_ttl_hours=None
+        )
+        assert dedup.isStreaming
+        q = (
+            dedup.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got1 = {(r.doc_key, r.payload) for r in spark.read.parquet(out).collect()}
+    assert got1 == {(7, "first-7"), (8, "first-8")}
+
+    # later micro-batch: key 7 re-appears (suppressed by state), key 9 is new
+    spark.createDataFrame(
+        [
+            (T0 + dt.timedelta(minutes=10), 7, "dup-7-later-batch"),
+            (T0 + dt.timedelta(minutes=11), 9, "first-9"),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    got2 = {(r.doc_key, r.payload) for r in spark.read.parquet(out).collect()}
+    assert got2 == got1 | {(9, "first-9")}
