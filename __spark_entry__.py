@@ -912,6 +912,61 @@ def kg_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.agg(F.count(F.lit(1)).alias("n_violations"))
 
 
+@_q(
+    "streaming_windowed_events",
+    """
+    WITH m AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events)
+    SELECT window_start, event_type, n_events, max_value FROM (
+      SELECT date_trunc('day', ts) AS window_start, event_type,
+             count(*) AS n_events, round(max(value), 9) AS max_value
+      FROM events GROUP BY 1, 2
+    ) w
+    WHERE w.window_start + INTERVAL 1 DAY <= (SELECT wm FROM m)
+    """,
+)
+def streaming_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING under the oracle gate: the events table is read
+    through the file STREAM source (availableNow), aggregated by
+    watermarked 1-day event-time windows (streaming/incremental.py's
+    windowed shape), written through the exactly-once parquet sink, and the
+    sink contents are returned. The DuckDB twin is the equivalent batch
+    GROUP BY restricted to windows the final watermark (max ts - 1h)
+    passed — append mode emits exactly those, so the comparison also pins
+    the watermark finalization boundary, not just the aggregate values.
+    max(value) is order-independent (exact double), safe to hash-compare."""
+    import tempfile
+
+    sch = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(sch)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)  # file source needs a directory; filter to the table
+        .withColumn("ts", F.col("ts").cast("timestamp"))  # NTZ -> event time
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.max("value"), 9).alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events", "max_value"
+        )
+    )
+    out, ckpt = tempfile.mkdtemp(), tempfile.mkdtemp()
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.read.parquet(out)
+
+
 # --- temporal rr:sqlQuery view over the events table -----------------------
 _R2RML_EVENTS = """
 @prefix rr: <http://www.w3.org/ns/r2rml#> .

@@ -25,7 +25,11 @@ def _duck(sql: str) -> pd.DataFrame:
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype == object:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            # Spark toPandas yields ns-resolution, DuckDB us-resolution:
+            # same instants, different epoch units — compare as ISO strings
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif df[c].dtype == object:
             df[c] = df[c].astype(str)
         else:
             df[c] = pd.to_numeric(df[c], errors="ignore")
