@@ -139,6 +139,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     num_hashes: int = 64,
     max_bucket_size: int | None = 10_000,
+    checkpoint_sigs: bool = True,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become candidates; candidates
     are verified by estimated Jaccard (signature agreement) >= threshold.
@@ -159,7 +160,17 @@ def minhash_lsh_pairs(
     orders of magnitude smaller than the banded frame at web scale), for
     the est-Jaccard verify. Buckets larger than ``max_bucket_size`` are
     dropped before the self-join (see :func:`_cap_buckets`).
+
+    ``checkpoint_sigs`` (default on) lazily localCheckpoints the signature
+    frame: this plan consumes ``sigs`` THREE times (the banded explode and
+    the two per-side verify joins), and without the checkpoint each
+    consumer recomputes the O(tokens x H) signature fold from the raw
+    corpus — at 100 TB, three full corpus re-reads (measured 2x end-to-end
+    at sf0.1). A production run that already persisted signatures to
+    storage passes False.
     """
+    if checkpoint_sigs:
+        sigs = sigs.localCheckpoint(eager=False)
     rows_per_band = num_hashes // bands or 1
     banded = sigs.select(
         F.col(id_col),
@@ -272,10 +283,19 @@ def simhash_blocked_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     max_bucket_size: int | None = 10_000,
+    checkpoint_sh: bool = True,
 ) -> DataFrame:
     """Pigeonhole-blocked near-pairs over a precomputed (id, simhash) frame —
     the core of :func:`simhash_pairs`, exposed so the segment-extraction sign
-    handling is unit-testable on literal simhash values."""
+    handling is unit-testable on literal simhash values.
+
+    ``checkpoint_sh`` lazily localCheckpoints the input: the blocked frame
+    is consumed three times (bucket-size cap + both sides of the
+    self-join), and when ``sh`` carries the 64-slot simhash fold each
+    consumer would otherwise recompute it from the corpus (same
+    multi-consumer recompute as :func:`minhash_lsh_pairs`)."""
+    if checkpoint_sh:
+        sh = sh.localCheckpoint(eager=False)
     segs = max_hamming + 1
     seg_bits = 64 // segs
     seg_vals = F.array(
@@ -391,7 +411,9 @@ def embedding_neardup_pairs(
         F.col(vec_col).cast("array<double>").alias("__v"),
         F.col(bucket_col).alias("__bkt"),
     ]
-    base = df.select(*cols)
+    # both sides of the self-join consume this frame; the lazy checkpoint
+    # runs the hyperplane bucketing fold once instead of once per side
+    base = df.select(*cols).localCheckpoint(eager=False)
     a = base.select(F.col(id_col).alias("id_a"), F.col("__v").alias("v_a"), F.col("__bkt"))
     b = base.select(
         F.col(id_col).alias("id_b"), F.col("__v").alias("v_b"), F.col("__bkt").alias("__bkt2")
