@@ -402,6 +402,49 @@ def test_graph_table_iceberg_merge_appends_never_replaces(spark, tables, monkeyp
         spark.conf.unset("spark.sql.catalog.fakecat")
 
 
+def test_graph_table_wide_vocabulary_caps(spark, tmp_path, monkeypatch):
+    """Wide-predicate-vocabulary guard rails: past MAX_MANIFEST_PREDICATES
+    the manifest stores NO predicate map (bound reads fall back to the
+    memoized bucket job, still correct); past MAX_PRUNE_PREDICATES the
+    merge delta anti-joins the un-pruned parent instead of collecting the
+    batch's predicate list driver-side (ADVICE r3 #3)."""
+    from p5_rdf_rdb2rdf_spark.io import graph_table as gtmod
+
+    monkeypatch.setattr(gtmod, "MAX_MANIFEST_PREDICATES", 5)
+    monkeypatch.setattr(gtmod, "MAX_PRUNE_PREDICATES", 5)
+
+    wide = spark.range(40).select(
+        F.lit("iri").alias("s_kind"),
+        F.concat(F.lit("http://e/s"), F.col("id").cast("string")).alias("s_value"),
+        F.concat(F.lit("http://e/p"), F.col("id").cast("string")).alias("p_value"),
+        F.lit("literal").alias("o_kind"),
+        F.col("id").cast("string").alias("o_value"),
+        F.lit(None).cast("string").alias("o_datatype"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit(None).cast("string").alias("g_value"),
+    )
+    gt = gtmod.GraphTable(spark, str(tmp_path / "gtw"), n_buckets=4)
+    gt.write(wide)
+    snap = gt.current_snapshot()
+    assert snap["pred_buckets"] == {}  # map dropped, manifest stays small
+    assert snap["total_rows"] == 40  # counts still recorded
+    # bound-predicate read: fallback bucket job, correct result
+    assert gt.read_predicate("http://e/p7").count() == 1
+
+    # merge with >cap distinct predicates: un-pruned anti-join, exact delta
+    more = wide.withColumn(
+        "o_value", F.concat(F.col("o_value"), F.lit("x"))
+    )  # same 40 predicates, new objects
+    delta = gt._delta_against(snap, wide.unionByName(more))
+    plan = delta._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" in plan
+    assert "pred_bucket" not in plan.split("Join")[0]  # no bucket prune filter
+    assert delta.count() == 40  # only the new-object rows survive
+    gt.merge(wide.unionByName(more))
+    assert gt.current_snapshot()["delta_rows"] == 40
+    assert gt.read().count() == 80
+
+
 def test_checkpointer_resume_and_lineage(spark, tmp_path):
     ck = StageCheckpointer(spark, str(tmp_path / "ck"))
     calls = {"n": 0}
