@@ -73,10 +73,20 @@ class StageCheckpointer:
         df = fn()
         df.write.mode("overwrite").parquet(out_dir)
         back = self.spark.read.parquet(out_dir)
+        # Per-partition row counts come from the PARQUET FOOTERS of the files
+        # just written — one file per write partition — so lineage metrics
+        # cost O(files) metadata reads and ZERO data scans. (Previously an
+        # rdd.mapPartitions Python count: a full re-read of the checkpoint
+        # per stage AND a row-at-a-time Python loop — both the exact
+        # patterns the engine bans in hot paths; at 100 TB that was an extra
+        # full scan per stage. Same fix class as GraphTable's write-back
+        # scan removal.)
+        import pyarrow.parquet as pq
+
         per_part = [
-            {"partition": i, "rows": n}
-            for i, n in enumerate(
-                back.rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()
+            {"partition": i, "rows": pq.ParquetFile(os.path.join(out_dir, f)).metadata.num_rows}
+            for i, f in enumerate(
+                sorted(f for f in os.listdir(out_dir) if f.endswith(".parquet"))
             )
         ]
         lin = self.lineage()
