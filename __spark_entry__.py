@@ -567,6 +567,44 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "text_repetition",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS t,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+      FROM documents
+    ), ng AS (
+      SELECT doc_id, n, t,
+             CASE WHEN n >= 2
+                  THEN list_transform(range(1, n), i -> t[i] || ' ' || t[i + 1])
+                  ELSE [] END AS g
+      FROM base
+    )
+    SELECT doc_id,
+           n AS n_tokens,
+           CASE WHEN n > 0
+                THEN round(1.0 - len(list_distinct(t)) / CAST(n AS DOUBLE), 9)
+                ELSE 0.0 END AS dup_token_frac,
+           CASE WHEN n >= 2 THEN n - 1 ELSE 0 END AS n_ngrams,
+           CASE WHEN n >= 2
+                THEN round(1.0 - len(list_distinct(g)) / CAST(n - 1 AS DOUBLE), 9)
+                ELSE 0.0 END AS dup_ngram_frac
+    FROM ng
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition filter signals (duplicate
+    token / 2-gram fractions) — exact integer-count divisions, so the
+    DuckDB twin reproduces every fraction bit-for-bit."""
+    from p5_rdf_rdb2rdf_spark.ops.text import repetition_features
+
+    docs = _load(spark, sf_dir, ["documents"])["documents"]
+    return repetition_features(docs, ngram=2)
+
+
+@_q(
     "ann_threshold_search",
     """
     SELECT q.vec_id AS query_id, c.vec_id

@@ -162,3 +162,42 @@ def shingle_array(text: Column, k: int = 5) -> Column:
     return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
     )
+
+
+# ---------------------------------------------------------------------------
+# within-document repetition (Gopher-style quality filters)
+
+
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", ngram: int = 2
+) -> DataFrame:
+    """Within-document repetition signals, the Gopher/C4-style filter family
+    used to drop boilerplate and degenerate generations from training
+    corpora: a document whose n-grams are mostly repeats of themselves is
+    template spam regardless of its cross-document dedup status.
+
+    -> (id, n_tokens, dup_token_frac, n_ngrams, dup_ngram_frac), where
+    dup_X_frac = 1 - distinct(X)/total(X) (0 for docs too short to form a
+    single n-gram). Pure Column expressions over :func:`shingle_array` —
+    one corpus scan, zero shuffle, zero Python; the fractions divide exact
+    integer counts, so any SQL engine reproduces them bit-for-bit (the
+    driver oracle `text_repetition` does)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_tok = token_count(F.col(text_col))
+    sh = shingle_array(F.col(text_col), k=ngram)
+    n_ng = F.when(n_tok >= ngram, F.size(sh)).otherwise(F.lit(0))
+    dup_tok = F.when(
+        n_tok > 0,
+        F.lit(1.0) - F.size(F.array_distinct(toks)) / n_tok.cast("double"),
+    ).otherwise(F.lit(0.0))
+    dup_ng = F.when(
+        n_ng > 0,
+        F.lit(1.0) - F.size(F.array_distinct(sh)) / n_ng.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.round(dup_tok, 9).alias("dup_token_frac"),
+        n_ng.alias("n_ngrams"),
+        F.round(dup_ng, 9).alias("dup_ngram_frac"),
+    )

@@ -115,3 +115,35 @@ def test_shingles(spark):
     assert got == ["a b c", "b c d", "c d e", "d e f"]
     short = _df(spark, ["a b"]).select(shingle_array(F.col("text"), k=5).alias("sh")).head().sh
     assert short == ["a b"]
+
+
+def test_repetition_features_planted(spark):
+    """Gopher-style repetition signals: a degenerate doc (one token looped)
+    scores ~1.0 on both fractions, template spam scores high on the 2-gram
+    fraction, normal prose scores low; empty/single-token docs are 0 not
+    NULL/NaN. Pure Column expressions — no Python in the plan."""
+    from p5_rdf_rdb2rdf_spark.ops.text import repetition_features
+
+    rows = [
+        (1, "spam " * 50),                              # degenerate loop
+        (2, "click here to win " * 10),                 # template spam
+        (3, "the quick brown fox jumps over a lazy dog and then rests"),
+        (4, ""),                                        # empty
+        (5, "single"),                                  # one token
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = repetition_features(df, ngram=2)
+    got = {r.doc_id: r for r in out.collect()}
+
+    assert got[1].n_tokens == 50 and got[1].n_ngrams == 49
+    assert got[1].dup_token_frac == round(1 - 1 / 50, 9)
+    assert got[1].dup_ngram_frac == round(1 - 1 / 49, 9)
+    assert got[2].dup_ngram_frac > 0.85
+    assert got[3].n_tokens == 12
+    assert got[3].dup_token_frac < 0.1 and got[3].dup_ngram_frac == 0.0
+    assert got[4].n_tokens == 0 and got[4].dup_token_frac == 0.0
+    assert got[4].n_ngrams == 0 and got[4].dup_ngram_frac == 0.0
+    assert got[5].n_tokens == 1 and got[5].n_ngrams == 0
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
