@@ -346,11 +346,25 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard over word-shingle sets for given candidate pairs.
 
-    Join-twice against the (small) per-doc shingle sets; the set intersection
-    runs as array ops after a broadcastable fetch. -> (id_a, id_b, jaccard).
+    The shingle sets are computed ONLY for documents that appear in a
+    candidate pair (semi-join prune first — candidates are orders of
+    magnitude smaller than the corpus by LSH construction, so the verify
+    stage's cost tracks the candidate volume, not the corpus), and the
+    pruned set frame is lazily checkpointed so its two join consumers share
+    one shingle computation. -> (id_a, id_b, jaccard).
     """
-    sets = df.select(
-        F.col(id_col), F.array_distinct(shingle_array(F.col(text_col), k=shingle_k)).alias("sh")
+    ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sets = (
+        df.join(ids, id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.array_distinct(shingle_array(F.col(text_col), k=shingle_k)).alias("sh"),
+        )
+        .localCheckpoint(eager=False)
     )
     a = sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a")
     b = sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b")
