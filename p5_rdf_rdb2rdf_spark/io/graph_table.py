@@ -303,9 +303,12 @@ class GraphTable:
             # spec; the batch is already distinct when dedup was requested
             return self.write(new, mode="overwrite", dedup=False)
         base = self.spark.table(self.iceberg_ref)
-        base = base.join(
-            F.broadcast(new.select("p_value").distinct()), "p_value", "left_semi"
-        )
+        # no broadcast HINT: for the KG pipeline's closed vocabulary AQE
+        # auto-broadcasts the tiny distinct-predicate side at runtime, but a
+        # forced broadcast would materialize an unboundedly wide property
+        # graph's predicate set on the driver (same cap rationale as
+        # MAX_PRUNE_PREDICATES)
+        base = base.join(new.select("p_value").distinct(), "p_value", "left_semi")
         cond = None
         for c in TRIPLE_COLUMNS:
             eq = F.col(f"new.{c}").eqNullSafe(F.col(f"base.{c}"))
