@@ -1001,7 +1001,12 @@ def streaming_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    # awaitTermination returns False on timeout with the query still running;
+    # reading the sink then compares a PARTIAL write and surfaces as an opaque
+    # oracle hash mismatch — fail loudly instead (ADVICE r4)
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("streaming_windowed_events: availableNow query exceeded 180s")
     return spark.read.parquet(out)
 
 

@@ -74,20 +74,24 @@ class StageCheckpointer:
         df.write.mode("overwrite").parquet(out_dir)
         back = self.spark.read.parquet(out_dir)
         # Per-partition row counts come from the PARQUET FOOTERS of the files
-        # just written — one file per write partition — so lineage metrics
-        # cost O(files) metadata reads and ZERO data scans. (Previously an
+        # just written — O(files) metadata reads, ZERO data scans. (The first
+        # footer version used os.listdir + a sorted file index, which only
+        # worked on the driver's local filesystem and mis-assigned partition
+        # ids when a task committed several files — ADVICE r4. Now: any
+        # Hadoop-supported URI via io.footers, partition ids parsed from the
+        # part-file names and summed per id. Before THAT it was an
         # rdd.mapPartitions Python count: a full re-read of the checkpoint
-        # per stage AND a row-at-a-time Python loop — both the exact
-        # patterns the engine bans in hot paths; at 100 TB that was an extra
-        # full scan per stage. Same fix class as GraphTable's write-back
-        # scan removal.)
-        import pyarrow.parquet as pq
+        # per stage at 100 TB.)
+        from .footers import parquet_file_rows, task_partition_id
 
+        rows_by_pid: dict[int, int] = {}
+        for fpath, rows in parquet_file_rows(self.spark, out_dir):
+            pid = task_partition_id(fpath)
+            if pid is None:  # non-Spark-named data file: tail slot
+                pid = max(rows_by_pid, default=-1) + 1
+            rows_by_pid[pid] = rows_by_pid.get(pid, 0) + rows
         per_part = [
-            {"partition": i, "rows": pq.ParquetFile(os.path.join(out_dir, f)).metadata.num_rows}
-            for i, f in enumerate(
-                sorted(f for f in os.listdir(out_dir) if f.endswith(".parquet"))
-            )
+            {"partition": pid, "rows": rows_by_pid[pid]} for pid in sorted(rows_by_pid)
         ]
         lin = self.lineage()
         lin["stages"][stage] = {

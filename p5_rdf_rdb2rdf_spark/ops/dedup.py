@@ -351,8 +351,12 @@ def ngram_jaccard_pairs(
     magnitude smaller than the corpus by LSH construction, so the verify
     stage's cost tracks the candidate volume, not the corpus), and the
     pruned set frame is lazily checkpointed so its two join consumers share
-    one shingle computation. -> (id_a, id_b, jaccard).
+    one shingle computation. ``candidates`` itself fans out THREE ways (both
+    union arms of the id prune plus the verify join), so it is checkpointed
+    too — otherwise the LSH self-join that produced it recomputes up to 3x,
+    offsetting the prune (ADVICE r4). -> (id_a, id_b, jaccard).
     """
+    candidates = candidates.localCheckpoint(eager=False)
     ids = (
         candidates.select(F.col("id_a").alias(id_col))
         .unionByName(candidates.select(F.col("id_b").alias(id_col)))

@@ -38,7 +38,10 @@ def test_triple_store_graph_table_bound_predicate_one_pruned_scan(
     from p5_rdf_rdb2rdf_spark.io.graph_table import GraphTable
 
     triples = _full_graph(spark, tables)
-    gt = GraphTable(spark, str(tmp_path / "gts"), n_buckets=4)
+    # closed_vocabulary: the manifest bucket map only exists for tables that
+    # declare a bounded predicate set (r5; generic tables use the memoized
+    # 1-row fallback job instead)
+    gt = GraphTable(spark, str(tmp_path / "gts"), n_buckets=4, closed_vocabulary=True)
     gt.write(triples)
     store = TripleStore(gt)
     flat = TripleStore(triples)
