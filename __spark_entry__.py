@@ -933,6 +933,76 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "multimodal_pixel_stats",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             8 + doc_id % 5 AS w,
+             6 + doc_id % 7 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_ref,
+           CASE WHEN doc_id % 2 = 0 THEN 'pgm' ELSE 'bmp' END AS format,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(ch AS INT) AS channels,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(ch * w * (h * doc_id + h * (h - 1) // 2) AS BIGINT) AS px_sum,
+           CAST(doc_id AS INT) AS px_min,
+           CAST(doc_id + h - 1 AS INT) AS px_max,
+           CAST(doc_id AS DOUBLE) + (h - 1) / 2.0 AS px_mean
+    FROM d
+    """,
+)
+def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode under the oracle gate (VERDICT r4 next-round #4):
+    each doc gets a codec-free image payload — even doc_ids a binary PGM
+    (with a header comment, exercising the tokenizer), odd doc_ids a 24-bit
+    bottom-up BMP whose rows carry 4-byte padding the decoder must strip —
+    where every sample in row r equals r + doc_id (all < 256 for doc_id <
+    200, so no modular wrap). Sum/min/max/mean are then pure integer
+    arithmetic of doc_id: sum = ch*w*(h*d + h(h-1)/2), min = d, max =
+    d+h-1, mean = d + (h-1)/2 (exact in IEEE double — .0 or .5). A green
+    row witnesses byte-exact pixel extraction: BMP padding stripped, row
+    order irrelevant to the stats, PGM raster offset exact. The sha256
+    metadata fallback is unreachable for these formats."""
+    import struct
+
+    from p5_rdf_rdb2rdf_spark.ops.multimodal import decode_pixel_stats
+
+    docs = _load(spark, sf_dir, ["documents"])["documents"].where("doc_id < 200")
+
+    @F.pandas_udf("binary")
+    def payload(doc_ids: pd.Series) -> pd.Series:
+        def build(d: int) -> bytes:
+            w, h = 8 + d % 5, 6 + d % 7
+            if d % 2 == 0:
+                hdr = b"P5\n# synthetic closed-form raster\n%d %d\n255\n" % (w, h)
+                return hdr + b"".join(bytes([r + d]) * w for r in range(h))
+            stride = (3 * w + 3) & ~3
+            px = b"".join(
+                (bytes([r + d]) * (3 * w)).ljust(stride, b"\x00")
+                for r in reversed(range(h))  # bottom-up row order
+            )
+            off = 14 + 40
+            file_hdr = b"BM" + struct.pack("<IHHI", off + len(px), 0, 0, off)
+            dib = struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px), 2835, 2835, 0, 0
+            )
+            return file_hdr + dib + px
+
+        return doc_ids.map(build)
+
+    media = docs.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.lit("image").alias("kind"),
+        payload(F.col("doc_id")).alias("payload"),
+    )
+    return decode_pixel_stats(media)
+
+
 # --- O40: span-sequence invariant, checked through the contract ------------
 @_q("kg_span_invariant", "SELECT 0 AS n_violations")
 def kg_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:

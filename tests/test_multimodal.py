@@ -343,3 +343,131 @@ def test_sample_frames_byte_exact_offsets(spark):
     rows = {r.frame_idx: bytes(r.frame_probe) for r in
             sample_frames(media, every_n_bytes=256, max_frames=3).collect()}
     assert rows == {i: payload[i * 256 : i * 256 + 16] for i in range(3)}
+
+
+def _bmp24(w, h, row_value, top_down=False, pad_byte=0xEE):
+    """24-bit uncompressed BMP whose every sample in row r is row_value(r);
+    pad bytes are poison (0xEE) so stats that fail to strip padding break."""
+    import struct
+
+    stride = (3 * w + 3) & ~3
+    order = range(h) if top_down else reversed(range(h))
+    px = b"".join(
+        (bytes([row_value(r)]) * (3 * w)).ljust(stride, bytes([pad_byte]))
+        for r in order
+    )
+    off = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", off + len(px), 0, 0, off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, 24, 0, len(px), 0, 0, 0, 0
+    )
+    return hdr + dib + px
+
+
+def test_bmp_pixel_decode_strips_padding_and_row_order():
+    """Real BMP pixel extraction: 4-byte row padding is NOT pixel data (the
+    pad bytes here are 0xEE poison — any stat touching them breaks), and
+    bottom-up vs top-down storage yields identical statistics."""
+    from p5_rdf_rdb2rdf_spark.ops.multimodal import _pixel_stats_kernel
+
+    w, h = 3, 4  # stride 12 = 9 data + 3 pad bytes per row
+    up = _pixel_stats_kernel(_bmp24(w, h, lambda r: 10 + r))
+    down = _pixel_stats_kernel(_bmp24(w, h, lambda r: 10 + r, top_down=True))
+    assert up is not None and down is not None
+    fmt, gw, gh, ch, n_px, s, mn, mx, mean = up
+    assert (fmt, gw, gh, ch, n_px) == ("bmp", 3, 4, 3, 12)
+    assert s == 3 * w * sum(10 + r for r in range(h))  # poison excluded
+    assert (mn, mx) == (10, 13)
+    assert mean == s / (n_px * ch)
+    assert up == down  # stats are row-order invariant
+
+
+def test_bmp_pixel_decode_truncated_returns_none():
+    """A BMP whose declared pixel array is cut short must yield None (no
+    fabricated stats), while the header-only metadata kernel still reports
+    real dimensions."""
+    from p5_rdf_rdb2rdf_spark.ops.multimodal import (
+        _decode_image_kernel,
+        _pixel_stats_kernel,
+    )
+
+    full = _bmp24(5, 3, lambda r: r)
+    cut = full[:-4]
+    assert _pixel_stats_kernel(cut) is None
+    assert _decode_image_kernel(cut)[:4] == (5, 3, 3, "bmp")  # header intact
+
+
+def test_pnm_pixel_decode_8_and_16_bit():
+    """Binary PGM/PPM rasters: comment-bearing headers, exact data offset
+    (single whitespace after maxval), 1 vs 3 channels, and big-endian
+    16-bit samples when maxval > 255."""
+    import numpy as np
+
+    from p5_rdf_rdb2rdf_spark.ops.multimodal import _pixel_stats_kernel
+
+    pgm = b"P5\n# comment line\n4 2\n255\n" + bytes(range(8))
+    fmt, w, h, ch, n_px, s, mn, mx, mean = _pixel_stats_kernel(pgm)
+    assert (fmt, w, h, ch, n_px, s, mn, mx) == ("pgm", 4, 2, 1, 8, 28, 0, 7)
+    assert mean == 3.5
+
+    ppm = b"P6 2 2 255 " + bytes(range(12))
+    fmt, w, h, ch, n_px, s, mn, mx, mean = _pixel_stats_kernel(ppm)
+    assert (fmt, w, h, ch, n_px, s) == ("ppm", 2, 2, 3, 4, 66)
+
+    vals = np.array([300, 700, 65535, 0], dtype=">u2")
+    pgm16 = b"P5\n2 2\n65535\n" + vals.tobytes()
+    fmt, w, h, ch, n_px, s, mn, mx, mean = _pixel_stats_kernel(pgm16)
+    assert (fmt, s, mn, mx) == ("pgm", 300 + 700 + 65535, 0, 65535)
+
+    # truncated raster -> None
+    assert _pixel_stats_kernel(b"P5\n4 2\n255\n" + bytes(5)) is None
+
+
+def test_decode_pixel_stats_dataframe_and_unknown(spark):
+    """The mapInPandas operator: real stats for BMP/PGM payloads, NULL stats
+    + format='unknown' for undecodable ones — never fabricated."""
+    from p5_rdf_rdb2rdf_spark.ops.multimodal import decode_pixel_stats
+
+    rows = [
+        ("a", "image", _bmp24(3, 2, lambda r: 5 + r)),
+        ("b", "image", b"P5\n3 1\n255\n" + bytes([1, 2, 3])),
+        ("c", "image", b"\x00not an image at all"),
+        ("d", "video", b"irrelevant kind, filtered out"),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_ref string, kind string, payload binary"
+    )
+    got = {r.media_ref: r for r in decode_pixel_stats(media).collect()}
+    assert set(got) == {"a", "b", "c"}
+    assert (got["a"].format, got["a"].px_min, got["a"].px_max) == ("bmp", 5, 6)
+    assert got["a"].px_sum == 3 * 3 * (5 + 6)
+    assert (got["b"].format, got["b"].px_sum, got["b"].px_mean) == ("pgm", 6, 2.0)
+    assert got["c"].format == "unknown" and got["c"].px_sum is None
+
+
+def test_pixel_kernels_total_on_arbitrary_bytes():
+    """Same totality bar as the other struct-read kernels: arbitrary bytes
+    (with adversarial BMP/PNM magic prefixes) never raise."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from p5_rdf_rdb2rdf_spark.ops.multimodal import (
+        _decode_image_kernel,
+        _pixel_stats_kernel,
+    )
+
+    prefixes = st.sampled_from(
+        [b"", b"BM", b"BM" + b"\x00" * 12, b"P5", b"P6\n", b"P5\n#",
+         b"P5\n99999999 99999999\n255\n", b"BM" + b"\xff" * 52]
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(prefix=prefixes, tail=st.binary(max_size=200))
+    def run(prefix: bytes, tail: bytes):
+        payload = prefix + tail
+        r = _pixel_stats_kernel(payload)
+        assert r is None or len(r) == 9
+        w, h, c, fmt = _decode_image_kernel(payload)
+        assert isinstance(fmt, str)
+
+    run()
