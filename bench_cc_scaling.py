@@ -95,8 +95,13 @@ def child(master: str, cores: int) -> None:
     edges = spark.read.parquet(EDGES_DIR)
     n_edges = edges.count()  # warm the scan outside the timed window
     stats: dict = {}
+    kw = {}
+    # A/B knob: SPARK_SCALE_CC_SLIM=<rows> pins slim_doubling_frontier_rows
+    # (0 = plain shuffle-join doubling always); unset = library default
+    if os.environ.get("SPARK_SCALE_CC_SLIM") is not None:
+        kw["slim_doubling_frontier_rows"] = int(os.environ["SPARK_SCALE_CC_SLIM"])
     t0 = time.time()
-    cc = connected_components(edges, driver_threshold=0, stats=stats)
+    cc = connected_components(edges, driver_threshold=0, stats=stats, **kw)
     n_nodes = cc.count()
     wall = time.time() - t0
     # closed-form correctness: every node's component is its block head
@@ -143,7 +148,7 @@ def main() -> None:
 
     lines = [
         "",
-        f"## Round-4 distributed-CC scaling run {time.strftime('%Y-%m-%d %H:%M:%S')} "
+        f"## Distributed-CC scaling run {time.strftime('%Y-%m-%d %H:%M:%S')} "
         f"— {SMALL} vs {BIG} (separate executor JVMs; interleaved A/B pairs, "
         f"min of {ROUNDS})",
         "",

@@ -31,6 +31,7 @@ def connected_components(
     size_hint: int | None = None,
     stats: dict | None = None,
     frontier_broadcast_rows: int = 1_000_000,
+    slim_doubling_frontier_rows: int | None = None,
 ) -> DataFrame:
     """-> (node, component) where component = min node id in the component.
 
@@ -63,6 +64,23 @@ def connected_components(
     instead of shuffling (see the frontier comment in the loop). Size it to
     the broadcast budget: ~16 B/row for long ids, ~40-60 B/row for string
     ids — the default 1M rows stays well under the 64 MB threshold.
+
+    ``slim_doubling_frontier_rows`` (default: same as
+    ``frontier_broadcast_rows``): once the frontier is at or below this,
+    the pointer-doubling join switches to a SLIM build side — the round-4
+    CC scaling profile showed post-collapse iterations floored on the
+    label×label doubling shuffle join + checkpoint while propagation's own
+    cost tracked the shrinking frontier (VERDICT r4 next-round #6). The
+    build side only needs rows for nodes that are CURRENTLY SOMEONE'S
+    LABEL and are not their own root (label(m) < m): every other row
+    no-ops through the coalesce. Pruning the PREVIOUS iteration's
+    checkpointed labels that way yields a ~|components|-row frame AQE
+    broadcasts: the doubling step runs with ZERO label-sized shuffles and
+    no extra materialization (see the loop comment on stale-by-one pointer
+    jumping — monotone-safe, Fibonacci-rate instead of 2^k, at most one
+    extra iteration on pure chains, simulated). Early iterations
+    (labels ≈ nodes, the slim side wouldn't be slim) keep the plain
+    shuffle-join shape. Set to 0 to always use the plain shape.
     """
     import time as _time
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
@@ -152,6 +170,8 @@ def connected_components(
     # becomes a map-side broadcast probe of the checkpointed edge list.
     # Pointer doubling stays unrestricted (its improvements can reference
     # stable nodes outside the frontier) — it is label-sized, not edge-sized.
+    if slim_doubling_frontier_rows is None:
+        slim_doubling_frontier_rows = frontier_broadcast_rows
     frontier = labels
     n_changed = n_nodes
     for _ in range(max_iter):
@@ -178,10 +198,15 @@ def connected_components(
             ).alias("component"),
         )
         # (2) pointer doubling: component <- label(component); gives the
-        # O(log diameter) convergence plain propagation lacks
-        ptr = hop.select(
-            F.col("node").alias("p_node"), F.col("component").alias("p_comp")
-        )
+        # O(log diameter) convergence plain propagation lacks. Plain shape:
+        # a label×label shuffle self-join. Once the frontier collapses
+        # (slim mode) the build side is pruned to rows that can actually
+        # improve something — nodes appearing as a CURRENT label with a
+        # label smaller than themselves (false minima); everything else
+        # no-ops through the coalesce — and that pruned frame is
+        # ~|components| rows, which AQE broadcasts: zero label-sized
+        # shuffles in the doubling step, byte-identical output.
+        slim = n_changed <= slim_doubling_frontier_rows
         # (3) the changed-label count is an Observation metric on the SAME
         # job that materializes the checkpoint — previously a separate
         # doubled-vs-labels join + full extra pass per iteration (one of
@@ -189,21 +214,45 @@ def connected_components(
         # __prev is kept through the checkpoint so the next frontier is a
         # filter over in-memory blocks, not a recomputation.
         obs = Observation(f"cc-changed-{_uuid.uuid4().hex[:8]}")
-        doubled = (
-            hop.join(ptr, hop["component"] == ptr["p_node"], "left")
-            .select(
-                "node",
-                "__prev",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("p_comp"), F.col("component"))
-                ).alias("component"),
-            )
-            .observe(obs, F.count_if(F.col("component") != F.col("__prev")).alias("n"))
-            .localCheckpoint()
+        ptr = hop.select(
+            F.col("node").alias("p_node"), F.col("component").alias("p_comp")
         )
+        if slim:
+            # Slim build side derived ENTIRELY from the previous iteration's
+            # CHECKPOINTED labels (stale-by-one pointer jumping): every
+            # hop[n] value is some node's previous label, so pruning the
+            # previous labels to {appears as a label} ∩ {label < self}
+            # covers every join key that can improve anything. hop keeps
+            # exactly ONE consumer (no extra checkpoint — a first attempt
+            # that slimmed from hop itself re-materialized a label-sized
+            # frame per iteration and measured SLOWER at 4-exec), the two
+            # pruning scans read cached blocks, and AQE broadcasts the
+            # ~|components|-sized result. Staleness is safe: labels only
+            # reference same-component nodes and decrease monotonically, so
+            # the fixpoint is unchanged; growth drops from 2^k to
+            # Fibonacci-rate (simulated: +1 iteration on pure chains, +0 on
+            # the star/chain bench mix).
+            comps = labels.select(F.col("component").alias("p_node")).distinct()
+            ptr = (
+                labels.where(F.col("component") < F.col("node"))
+                .select(
+                    F.col("node").alias("p_node"), F.col("component").alias("p_comp")
+                )
+                .join(comps, "p_node", "left_semi")
+            )
+        out = hop.join(ptr, hop["component"] == ptr["p_node"], "left").select(
+            "node",
+            "__prev",
+            F.least(
+                F.col("component"), F.coalesce(F.col("p_comp"), F.col("component"))
+            ).alias("component"),
+        )
+        out = out.observe(
+            obs, F.count_if(F.col("component") != F.col("__prev")).alias("n")
+        ).localCheckpoint()
         changed = obs.get["n"]
-        labels = doubled.select("node", "component")
-        frontier = doubled.where(F.col("component") != F.col("__prev")).select(
+        labels = out.select("node", "component")
+        frontier = out.where(F.col("component") != F.col("__prev")).select(
             "node", "component"
         )
         n_changed = changed
@@ -211,6 +260,7 @@ def connected_components(
             stats["iterations"] += 1
             stats["iter_wall_sec"].append(round(_time.time() - _it0, 2))
             stats["iter_changed"].append(changed)
+            stats.setdefault("iter_slim_doubling", []).append(slim)
         if changed == 0:
             break
     return labels

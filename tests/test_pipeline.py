@@ -216,6 +216,24 @@ def test_cc_frontier_matches_driver_on_random_graph(spark):
             )
         )
         assert got == want, f"frontier_broadcast_rows={budget}"
+    # slim (stale-by-one) pointer doubling decoupled from the frontier
+    # regime: broadcast frontier + plain doubling, and shuffle frontier +
+    # slim doubling, must both still equal the union-find answer (r5: the
+    # slim build side prunes the PREVIOUS labels to false minima — staleness
+    # must not change the fixpoint on rings/bridges/chains)
+    for budget, slim in ((10**9, 0), (0, 10**9)):
+        got = sorted(
+            map(
+                tuple,
+                connected_components(
+                    df,
+                    driver_threshold=0,
+                    frontier_broadcast_rows=budget,
+                    slim_doubling_frontier_rows=slim,
+                ).collect(),
+            )
+        )
+        assert got == want, f"budget={budget} slim={slim}"
 
 
 def test_cc_stats_hook(spark):
@@ -232,6 +250,7 @@ def test_cc_stats_hook(spark):
     assert comps.select("component").distinct().count() == 1
     assert st["path"] == "distributed" and st["n_nodes"] == 31
     assert st["iterations"] == len(st["iter_wall_sec"]) == len(st["iter_changed"])
+    assert st["iterations"] == len(st["iter_slim_doubling"])
     assert st["iterations"] >= 2 and st["iter_changed"][-1] == 0
     # pointer doubling: a 30-hop chain converges in ~log2 rounds, not 30
     assert st["iterations"] <= 8
@@ -239,3 +258,36 @@ def test_cc_stats_hook(spark):
     st2: dict = {}
     connected_components(edges, stats=st2).collect()
     assert st2 == {"path": "driver", "n_edges": 30}
+
+
+def test_fused_extractor_re2_and_pandas_paths_identical(spark, monkeypatch):
+    """The RE2 (pyarrow extract_regex) fast path must be byte-identical to
+    the pandas fallback on matching, non-matching and NULL texts — including
+    the struct-validity fix (extract_regex leaves child fields unmasked for
+    misses). Backtracking patterns must route to the fallback."""
+    from p5_rdf_rdb2rdf_spark.pipeline import mentions
+    from p5_rdf_rdb2rdf_spark.pipeline.kgpipeline import template_patterns
+
+    pats = [p for p, _ in template_patterns()]
+    assert mentions._re2_compatible(pats)
+    assert not mentions._re2_compatible([r"^(?P<a>\S+) (?P=a) (?P<b>\S+)$"])
+
+    texts = [
+        "entity001 works at entity002 .",
+        "no relation in this span",
+        None,
+        "alias000 wrote entity099 .",
+        "entity003 knows entity004 .",
+        "entity005 works at two tokens here .",  # b must be \S+ -> no match
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+
+    fast = df.select(mentions.fused_extractor(pats)("text").alias("r")).collect()
+    monkeypatch.setattr(mentions, "_re2_compatible", lambda _p: False)
+    slow = df.select(mentions.fused_extractor(pats)("text").alias("r")).collect()
+    assert fast == slow
+    # sanity: the matching rows actually extracted
+    assert fast[0].r.a0 == "entity001" and fast[0].r.b0 == "entity002"
+    assert fast[1].r.a0 is None and fast[1].r.a1 is None and fast[1].r.a2 is None
+    assert fast[3].r.a1 == "alias000" and fast[4].r.b2 == "entity004"
+    assert fast[5].r.a0 is None  # greedy \S+ must not span the extra tokens
