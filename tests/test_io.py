@@ -338,15 +338,17 @@ def test_graph_table_merge_forwards_first_write_hints(spark, tables, tmp_path, m
     assert gt.current_snapshot()["total_rows"] == triples.count()
 
 
-def test_graph_table_iceberg_merge_appends_never_replaces(spark, tables, monkeypatch, tmp_path):
-    """ADVICE r3 #1 (high): on the Iceberg backend merge() previously fell
-    into the overwrite path — createOrReplace with just the incoming batch —
-    so two consecutive merges lost the first batch unconditionally. Pinned
-    contract: merge on an EXISTING table anti-joins against the live table
-    and APPENDS the delta; merge on a missing table creates it; compact()
+def test_graph_table_iceberg_merge_uses_merge_into(spark, tables, monkeypatch, tmp_path):
+    """Iceberg merge contract (ADVICE r3 #1 + VERDICT r4 next-round #8):
+    merge on an EXISTING table must emit an atomic
+    ``MERGE INTO ... WHEN NOT MATCHED THEN INSERT *`` with a null-safe ON
+    clause over every triple column — never createOrReplace (which replaced
+    the whole table with the batch), and no longer the racy
+    anti-join+append. Merge on a missing table creates it; compact()
     refuses (catalog-side rewrite_data_files) instead of replacing the
     table with a read of itself."""
     calls = []
+    sqls = []
 
     class FakeWriter:
         def __init__(self, ref):
@@ -370,7 +372,11 @@ def test_graph_table_iceberg_merge_appends_never_replaces(spark, tables, monkeyp
         def head(self):
             return [7]
 
-    monkeypatch.setattr(spark, "sql", lambda q: FakeSnapDF(), raising=False)
+    def fake_sql(q):
+        sqls.append(q)
+        return FakeSnapDF()
+
+    monkeypatch.setattr(spark, "sql", fake_sql, raising=False)
     spark.conf.set("spark.sql.catalog.fakecat", "org.example.FakeCatalog")
     try:
         triples = direct_map(spark, {"dept": tables["dept"]}, CONSTRAINTS, base=BASE)
@@ -385,19 +391,32 @@ def test_graph_table_iceberg_merge_appends_never_replaces(spark, tables, monkeyp
             spark.catalog, "tableExists", lambda ref: False, raising=False
         )
         gt.merge(triples)
-        assert ("createOrReplace",) in calls and ("append",) not in calls
+        assert ("createOrReplace",) in calls
+        assert not any(s.startswith("MERGE INTO") for s in sqls)
 
-        # table exists -> merge must append the anti-joined delta, NEVER replace
+        # table exists -> one atomic MERGE INTO, no writer calls at all
         calls.clear()
+        sqls.clear()
         monkeypatch.setattr(
             spark.catalog, "tableExists", lambda ref: True, raising=False
         )
-        monkeypatch.setattr(
-            spark, "table", lambda ref: triples.limit(0), raising=False
-        )
         gt.merge(triples)
-        assert ("append",) in calls
-        assert ("createOrReplace",) not in calls, calls
+        merge_sqls = [s for s in sqls if s.startswith("MERGE INTO")]
+        assert len(merge_sqls) == 1, sqls
+        m = merge_sqls[0]
+        assert m.startswith("MERGE INTO fakecat.graph t USING __gt_merge_src_")
+        assert m.endswith("WHEN NOT MATCHED THEN INSERT *")
+        from p5_rdf_rdb2rdf_spark.terms import TRIPLE_COLUMNS
+
+        for c in TRIPLE_COLUMNS:  # null-safe equality on EVERY key column
+            assert f"t.{c} <=> s.{c}" in m, m
+        assert "WHEN MATCHED" not in m  # set semantics: never update/delete
+        assert calls == []  # no createOrReplace / append on the existing table
+        # the temp view is cleaned up even though fake_sql never reads it
+        assert not any(
+            v.name.startswith("__gt_merge_src_")
+            for v in spark.catalog.listTables()
+        )
 
         import pytest as _pytest
 
