@@ -58,6 +58,13 @@ TPCH_CONSTRAINTS = {
     },
     "lineitem": {
         "pk": ["l_orderkey", "l_linenumber"],
+        # the synthetic generator does NOT enforce the composite key: at
+        # sf0.1, 600k rows carry only 456,861 distinct (orderkey, linenumber)
+        # pairs, and same-key rows share low-cardinality column values —
+        # real triple duplicates. This flag keeps PK-templated subjects but
+        # routes lineitem through its own dedup slice in direct_map's PK
+        # fast path (every enforced-key table skips the dedup shuffle).
+        "pk_enforced": False,
         "fks": [
             {"cols": ["l_orderkey"], "parent": "orders", "parent_cols": ["o_orderkey"]},
             {"cols": ["l_partkey"], "parent": "part", "parent_cols": ["p_partkey"]},

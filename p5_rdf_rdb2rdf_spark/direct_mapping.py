@@ -109,8 +109,16 @@ def direct_mapping_ir(
             )
 
         # foreign-key reference triples (O15): parent row node from the
-        # child row's own FK values — join-free, like the reference
+        # child row's own FK values — join-free, like the reference.
+        # Duplicate constraint entries (same child cols -> same parent) would
+        # emit the same predicate IRI twice and break the distinct-by-
+        # construction argument direct_map's PK fast path relies on — skip.
+        seen_fks: set[tuple] = set()
         for fk in cons.get("fks", []):
+            fk_key = (tuple(fk["cols"]), fk["parent"], tuple(fk.get("parent_cols", [])))
+            if fk_key in seen_fks:
+                continue
+            seen_fks.add(fk_key)
             parent = fk["parent"]
             pcons = manifest.get(parent, {})
             ppk: list[str] = pcons.get("pk", [])
@@ -136,6 +144,96 @@ def direct_mapping_ir(
     return m
 
 
+def _compact_dedup_map(
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    manifest: dict[str, Any],
+    base: str,
+) -> DataFrame:
+    """Set-semantics DM for a declared-but-UNENFORCED-key table, with the
+    dedup pushed BEFORE IRI construction onto narrow native-typed columns.
+
+    A DM triple of a PK-subject table is an injective function of
+    (pk values, pattern, object-column value): the subject template, the
+    lexical form, and IRI-safe encoding are all injective per column type.
+    So ``distinct`` over each pattern's source columns — (pk) for the type
+    triple, (pk, col) for a literal, (pk, fk cols) for a reference — yields
+    exactly the distinct triple set, while the exchange carries small
+    native values (ints, dates) instead of fully-expanded IRI strings
+    (measured ~100x fewer shuffle bytes on lineitem: ~19 narrow distincts
+    of <=3 primitive columns vs one shuffle of 9M 8-string rows). Each
+    pattern re-scans only its own parquet columns (columnar pruning; the
+    pk columns are re-read per pattern — the tradeoff that buys compiler
+    reuse; a single-scan unpivot would save those re-reads at the cost of
+    duplicating term construction outside the compiler).
+
+    Term construction itself is entirely reused: each pattern becomes a
+    one-POM TriplesMap over its distinct narrow projection, compiled by the
+    ordinary compiler (NULL suppression, lexical forms, encoding identical
+    to the trusted path)."""
+    from .compiler import compile_mapping
+
+    cons = manifest.get(table, {"pk": [], "fks": []})
+    pk: list[str] = cons["pk"]
+    m = Mapping(base=base)
+    sources: dict[str, DataFrame] = {}
+    subject = TermMap(kind="template", template=_row_node_template(base, table, pk))
+
+    def add(name: str, cols: list[str], poms: list[PredicateObjectMap], classes=()):
+        key = f"__dm_compact__{table}__{name}"
+        sources[key] = df.select(*dict.fromkeys(cols)).distinct()
+        tm = TriplesMap(
+            name=f"dm:{table}#{name}", table=key, subject=subject, classes=list(classes)
+        )
+        tm.poms.extend(poms)
+        m.triples_maps[tm.name] = tm
+
+    add("rdf-type", pk, [], classes=[f"{base}{iri_safe_py(table)}"])
+    for f in df.schema.fields:
+        prop = f"{base}{iri_safe_py(table)}#{iri_safe_py(f.name)}"
+        add(
+            f"col-{f.name}",
+            [*pk, f.name],
+            [
+                PredicateObjectMap(
+                    predicates=[TermMap.iri_constant(prop)],
+                    objects=[TermMap(kind="column", column=f.name, term_type=KIND_LITERAL)],
+                )
+            ],
+        )
+    seen_fks: set[tuple] = set()
+    for fk in cons.get("fks", []):
+        fk_key = (tuple(fk["cols"]), fk["parent"], tuple(fk.get("parent_cols", [])))
+        if fk_key in seen_fks:
+            continue
+        seen_fks.add(fk_key)
+        parent = fk["parent"]
+        ppk: list[str] = manifest.get(parent, {}).get("pk", [])
+        if not ppk or list(fk.get("parent_cols", [])) != ppk:
+            continue
+        ref_iri = f"{base}{iri_safe_py(table)}#ref-" + ";".join(
+            iri_safe_py(c) for c in fk["cols"]
+        )
+        pairs = ";".join(f"{iri_safe_py(pc)}={{{cc}}}" for pc, cc in zip(ppk, fk["cols"]))
+        add(
+            "fk-" + ";".join(fk["cols"]),
+            [*pk, *fk["cols"]],
+            [
+                PredicateObjectMap(
+                    predicates=[TermMap.iri_constant(ref_iri)],
+                    objects=[
+                        TermMap(
+                            kind="template",
+                            template=f"{base}{iri_safe_py(parent)}/{pairs}",
+                        )
+                    ],
+                )
+            ],
+        )
+    return compile_mapping(spark, m, tables=sources, dedup=False)
+
+
 def direct_map(
     spark: SparkSession,
     tables: dict[str, DataFrame],
@@ -143,13 +241,73 @@ def direct_map(
     base: str = "http://example.com/base/",
     dedup: bool = True,
     only: list[str] | None = None,
+    assume_key_integrity: bool = True,
 ) -> DataFrame:
     """Direct-map a set of tables to one triples DataFrame.
 
     ``only`` restricts to a table subset (the reference's table filter on
-    ``DirectMapping->process``)."""
+    ``DirectMapping->process``).
+
+    **PK fast path (no dedup shuffle).** With ``dedup=True`` the output must
+    be a SET of triples, but for a table with a declared primary key the DM
+    construction is distinct BY CONSTRUCTION — no two emitted triples can be
+    equal, so ``dropDuplicates`` (a full shuffle of every 8-column triple
+    row, the dominant exchange of a whole-schema map) is provably a no-op
+    and is skipped:
+
+      - subjects are unique per row (the row-node template embeds the PK);
+      - within a row, every pattern carries a distinct constant predicate
+        (one IRI per column, one per FK constraint — deduplicated above —
+        and ``rdf:type``), each emitting at most one triple per row;
+      - across tables, subject IRIs embed the (IRI-safe-encoded) table name.
+
+    This presupposes the PK actually holds in the data — the assumption the
+    reference inherits from the RDBMS enforcing the key (DirectMapping.pm
+    reads via DBI). Where a declared key is NOT enforced by the source
+    (e.g. a lake table carrying a logical key nothing validates — duplicate
+    key rows then share a subject and duplicate triples arise wherever they
+    also share a column value), mark it ``"pk_enforced": false`` in the
+    manifest: the table keeps its PK-templated subjects but its slice of
+    the union gets its own ``dropDuplicates``. ``assume_key_integrity=
+    False`` restores the global dropDuplicates regardless of manifest
+    claims. No-PK tables (deterministic row-hash blank nodes: duplicate
+    rows COLLAPSE, FIXTURES.md §5) always keep the dedup shuffle — applied
+    only to their slice of the union."""
     selected = {t: df for t, df in tables.items() if only is None or t in only}
-    ir = direct_mapping_ir({t: df.schema for t, df in selected.items()}, manifest, base)
     from .compiler import compile_mapping
 
-    return compile_mapping(spark, ir, tables=selected, dedup=dedup)
+    def _compile(sub: dict[str, DataFrame], dd: bool) -> DataFrame:
+        ir = direct_mapping_ir({t: df.schema for t, df in sub.items()}, manifest, base)
+        return compile_mapping(spark, ir, tables=sub, dedup=dd)
+
+    if not (dedup and assume_key_integrity) or not selected:
+        return _compile(selected, dedup)
+    enforced_pk = {
+        t: df
+        for t, df in selected.items()
+        if manifest.get(t, {}).get("pk") and manifest.get(t, {}).get("pk_enforced", True)
+    }
+    unenforced_pk = {
+        t: df
+        for t, df in selected.items()
+        if t not in enforced_pk and manifest.get(t, {}).get("pk")
+    }
+    no_pk = {
+        t: df
+        for t, df in selected.items()
+        if t not in enforced_pk and t not in unenforced_pk
+    }
+    parts = [_compile(sub, dd) for sub, dd in
+             ((enforced_pk, False), (no_pk, True)) if sub]
+    # unenforced-key tables: compact per-pattern dedup on narrow source
+    # columns instead of a full-triple-row shuffle. One ±0.0 edge: Spark's
+    # distinct normalizes -0.0 == 0.0 pre-lexicalization (one triple kept)
+    # where the global form would keep both "0.0" and "-0.0" lexicals.
+    parts += [
+        _compact_dedup_map(spark, t, df, manifest, base)
+        for t, df in unenforced_pk.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -173,3 +173,47 @@ def test_dm_composite_pk_encoding(spark, tables):
     assert any("k1=1;k2=a%3Bb>" in ln for ln in lines)
     assert any("k1=2;k2=c%3Dd>" in ln for ln in lines)
     assert any("k1=3;k2=p%25q>" in ln for ln in lines)
+
+
+def test_dm_pk_fast_path_matches_global_dedup(spark, tables):
+    """r5 PK fast path: with trusted keys the dedup shuffle is skipped for
+    PK-backed tables (distinct by construction) and applied only to the
+    no-PK slice. The emitted triple SET must be identical to the global
+    dropDuplicates form on a mixed pk + no-pk (duplicate-row-bearing)
+    selection — including the collapse of nopk_log's full-duplicate rows."""
+    only = ["books", "authors", "nopk_log"]
+    fast = direct_map(spark, tables, CONSTRAINTS, base=BASE, only=only)
+    slow = direct_map(
+        spark, tables, CONSTRAINTS, base=BASE, only=only, assume_key_integrity=False
+    )
+    f = sorted(map(tuple, fast.collect()))
+    assert f == sorted(map(tuple, slow.collect()))
+    assert len(f) == len(set(f))  # output is a genuine set either way
+
+
+def test_dm_pk_enforced_false_restores_set_semantics(spark):
+    """A declared-but-unenforced key (``"pk_enforced": false``) keeps
+    PK-templated subjects but routes the table through its own dedup slice:
+    duplicate-key rows sharing a column value must emit ONE triple, exactly
+    like the global-dropDuplicates form. Trusting the same data (flag
+    absent) would emit the duplicate — the planted rows prove the flag is
+    load-bearing."""
+    rows = [(1, "x", "same"), (1, "y", "same"), (2, "z", "other")]
+    df = spark.createDataFrame(rows, "k int, a string, b string")
+    mf_unenforced = {"t": {"pk": ["k"], "fks": [], "pk_enforced": False}}
+    mf_trusting = {"t": {"pk": ["k"], "fks": []}}
+
+    got = direct_map(spark, {"t": df}, mf_unenforced, base=BASE)
+    want = direct_map(
+        spark, {"t": df}, mf_unenforced, base=BASE, assume_key_integrity=False
+    )
+    g = sorted(map(tuple, got.collect()))
+    assert g == sorted(map(tuple, want.collect()))
+    assert len(g) == len(set(g))
+    # both k=1 rows emit <t/k=1> <t#b> "same" — set semantics keeps ONE
+    b_same = [r for r in g if r[2].endswith("#b") and r[4] == "same"]
+    assert len(b_same) == 1
+    # the trusting fast path on the same (key-violating) data emits both —
+    # i.e. pk_enforced=False is what preserves correctness here
+    trusted = direct_map(spark, {"t": df}, mf_trusting, base=BASE).collect()
+    assert len([r for r in trusted if r[2].endswith("#b") and r[4] == "same"]) == 2

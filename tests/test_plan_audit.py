@@ -90,17 +90,24 @@ def test_broadcast_hint_applied(spark, tpch):
 
 
 def test_dedup_is_partial_aggregate(spark, tpch):
-    """RDF set semantics must compile to map-side partial + final hash
-    aggregate (one shuffle), not a global sort."""
-    t = direct_map(
-        spark,
-        {"region": tpch["region"]},
-        {"region": {"pk": ["r_regionkey"], "fks": []}},
-        base=BASE,
+    """RDF set semantics: a PK-backed Direct Map is distinct by construction
+    — the plan must contain NO dedup exchange at all (r5 fast path). With
+    ``assume_key_integrity=False`` (untrusted data) set semantics must
+    compile to map-side partial + final hash aggregate (one shuffle), not a
+    global sort."""
+    mf = {"region": {"pk": ["r_regionkey"], "fks": []}}
+    fast = direct_map(spark, {"region": tpch["region"]}, mf, base=BASE)
+    plan = _plan(fast)
+    assert "Exchange" not in plan and "HashAggregate" not in plan, plan
+
+    slow = direct_map(
+        spark, {"region": tpch["region"]}, mf, base=BASE, assume_key_integrity=False
     )
-    plan = _plan(t)
+    plan = _plan(slow)
     assert plan.count("HashAggregate") >= 2
     assert "Sort " not in plan
+    # both forms produce the same triple SET
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
 
 
 def test_dedup_family_plans_jvm_only_no_cartesian(spark, tpch):
