@@ -1198,6 +1198,57 @@ def store_bound_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select("s_value", "o_value")
 
 
+@_q(
+    "store_bgp_join",
+    f"""
+    SELECT '{BASE}customer/c_custkey=' || CAST(c.c_custkey AS VARCHAR) AS cust,
+           '{BASE}nation/n_nationkey=' || CAST(n.n_nationkey AS VARCHAR) AS nat,
+           n.n_name AS nat_name,
+           '{BASE}region/r_regionkey=' || CAST(n.n_regionkey AS VARCHAR) AS reg
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE n.n_name IS NOT NULL
+    """,
+)
+def store_bgp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive basic-graph-pattern match over the VIRTUAL Direct-Mapping
+    store (store.match_bgp): a 3-pattern chain
+
+        (?c  customer#ref-c_nationkey  ?n)
+        (?n  nation#n_name             ?nm)
+        (?n  nation#ref-n_regionkey    ?r)
+
+    Each pattern compiles to its own pruned single-table plan (bound
+    predicate decoded driver-side, no materialized graph), then the
+    patterns equi-join on the shared variable's full term identity
+    (kind+value+datatype+lang structs). The DuckDB twin is the equivalent
+    relational join — the FK ref-object triples ARE the join edges, so the
+    BGP solution set equals customer x nation with IRIs rebuilt by string
+    arithmetic. Exercises variable-kind discrimination (?n binds an IRI in
+    all three patterns) and the selectivity ordering path."""
+    from p5_rdf_rdb2rdf_spark.store import DirectMappingStore
+
+    tables = _load(spark, sf_dir, ["customer", "nation", "region"])
+    store = DirectMappingStore(
+        spark,
+        {t: tables[t] for t in ("customer", "nation", "region")},
+        TPCH_CONSTRAINTS,
+        base=BASE,
+    )
+    sol = store.bgp(
+        [
+            ("?c", f"{BASE}customer#ref-c_nationkey", "?n"),
+            ("?n", f"{BASE}nation#n_name", "?nm"),
+            ("?n", f"{BASE}nation#ref-n_regionkey", "?r"),
+        ]
+    )
+    return sol.select(
+        F.col("c.value").alias("cust"),
+        F.col("n.value").alias("nat"),
+        F.col("nm.value").alias("nat_name"),
+        F.col("r.value").alias("reg"),
+    )
+
+
 # --- W3C conformance-style cases through the driver contract ----------------
 # (tests/test_w3c_cases.py holds the full spec corpus; these three expose the
 # composite-PK, IRI-encoding, language-tag and named-graph constructs to the

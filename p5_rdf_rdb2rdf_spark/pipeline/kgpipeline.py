@@ -125,9 +125,13 @@ def run_pipeline(
     )
 
     def _links() -> DataFrame:
-        subj_m = relations.select(F.col("subj_surface").alias("surface"))
-        obj_m = relations.select(F.col("obj_surface").alias("surface"))
-        mentions = subj_m.unionByName(obj_m).distinct()
+        # ONE scan of the (cached, 2x|relations|-row) frame: explode the two
+        # surface columns in place of a union of two full projections — the
+        # union shape read the cache twice and fed the same distinct
+        # (measured ~25% of s3 wall at 4M docs)
+        mentions = relations.select(
+            F.explode(F.array("subj_surface", "obj_surface")).alias("surface")
+        ).distinct()
         return link_mentions(mentions, dictionary).select(
             "surface", "entity_id", "canonical", "score"
         )

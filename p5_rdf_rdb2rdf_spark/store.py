@@ -91,6 +91,135 @@ class TripleStore:
     def count_pattern(self, **kw: Any) -> int:
         return self.get_statements(**kw).count()
 
+    def bgp(self, patterns: "list[tuple[str, str, str]]") -> DataFrame:
+        """Conjunctive basic-graph-pattern match (see :func:`match_bgp`)."""
+        return match_bgp(self, patterns)
+
+
+# ---------------------------------------------------------------------------
+
+
+def _is_var(term: str | None) -> bool:
+    return isinstance(term, str) and term.startswith("?")
+
+
+def match_bgp(store: "TripleStore | DirectMappingStore",
+              patterns: "list[tuple[str, str, str]]") -> DataFrame:
+    """Match a conjunctive basic graph pattern against a store.
+
+    Each pattern is ``(s, p, o)``; a term starting with ``?`` is a variable,
+    anything else is a bound IRI/literal lexical (passed to the store's
+    ``get_statements``, so bound predicates ride the pruned-scan path and
+    bound subjects/objects become pushed filters). Returns one row per
+    solution with one STRUCT column per variable —
+    ``struct<kind,value,datatype,lang>`` — i.e. full RDF term identity:
+    join keys compare kind+value+datatype+lang (null-safe), so a literal
+    ``"5"^^xsd:integer`` never joins an IRI or a ``"5"^^xsd:string`` that
+    happens to share its lexical form. A variable repeated WITHIN a pattern
+    (e.g. ``(?x, p, ?x)``) becomes a same-row term-equality filter.
+
+    Execution shape (the part that matters at 10^12 triples): every pattern
+    is answered independently first — bound terms pruned/pushed at the scan
+    — then joined smallest-constraint-first: patterns are ordered by bound-
+    term count (3 > 2 > 1 > 0, predicate-bound preferred within a tie,
+    since a bound predicate prunes partitions), and each subsequent pattern
+    must share >=1 variable with the accumulated solution when any such
+    pattern remains — disconnected components are cross-joined LAST, never
+    in the middle of a chain. The equi-joins are plain shuffles on the
+    shared variable structs; AQE broadcasts whichever side its runtime
+    stats prove small (highly selective patterns routinely collapse to a
+    broadcast probe).
+
+    Reference parity: RDF::Trine::Model (the reference's sink) answers
+    ``get_pattern`` by iterating ``get_statements`` per triple pattern and
+    nested-loop-joining bindings driver-side; this is the same semantics as
+    a distributed join plan. No OPTIONAL/UNION/FILTER — conjunctive
+    patterns only, matching what the reference test-suite exercises."""
+    if not patterns:
+        raise ValueError("empty basic graph pattern")
+
+    def bound_count(pat):
+        s, p, o = pat
+        return sum(0 if _is_var(t) else 1 for t in (s, p, o))
+
+    # most-bound first; prefer bound-predicate patterns within a tie
+    order = sorted(
+        range(len(patterns)),
+        key=lambda i: (-bound_count(patterns[i]), _is_var(patterns[i][1]), i),
+    )
+
+    def pattern_frame(pat, idx: int) -> tuple[DataFrame, set[str]]:
+        s, p, o = pat
+        df = store.get_statements(
+            s=None if _is_var(s) else s,
+            p=None if _is_var(p) else p,
+            o=None if _is_var(o) else o,
+        )
+        terms = {
+            "s": F.struct(
+                F.col("s_kind").alias("kind"),
+                F.col("s_value").alias("value"),
+                F.lit(None).cast("string").alias("datatype"),
+                F.lit(None).cast("string").alias("lang"),
+            ),
+            "p": F.struct(
+                F.lit(KIND_IRI).alias("kind"),
+                F.col("p_value").alias("value"),
+                F.lit(None).cast("string").alias("datatype"),
+                F.lit(None).cast("string").alias("lang"),
+            ),
+            "o": F.struct(
+                F.col("o_kind").alias("kind"),
+                F.col("o_value").alias("value"),
+                F.col("o_datatype").alias("datatype"),
+                F.col("o_lang").alias("lang"),
+            ),
+        }
+        cols: dict[str, Any] = {}
+        filters = []
+        for pos, term in zip(("s", "p", "o"), (s, p, o)):
+            if not _is_var(term):
+                continue
+            name = term[1:]
+            if not name:
+                raise ValueError(f"bad variable {term!r}")
+            if name in cols:  # repeated var within the pattern
+                filters.append(cols[name].eqNullSafe(terms[pos]))
+            else:
+                cols[name] = terms[pos]
+        for flt in filters:
+            df = df.where(flt)
+        if not cols:
+            # fully-bound pattern = existence check (ASK): one row if any
+            # statement matches, zero otherwise — a cross-joined semi-filter
+            return df.limit(1).select(F.lit(1).alias(f"__ask_{idx}")), set()
+        return df.select([expr.alias(n) for n, expr in cols.items()]), set(cols)
+
+    remaining = list(order)
+    first = remaining.pop(0)
+    acc, acc_vars = pattern_frame(patterns[first], first)
+    while remaining:
+        # next pattern sharing a variable; cross-join only when none does
+        nxt = next((i for i in remaining if set(
+            t[1:] for t in patterns[i] if _is_var(t)) & acc_vars), remaining[0])
+        remaining.remove(nxt)
+        right, right_vars = pattern_frame(patterns[nxt], nxt)
+        shared = sorted(acc_vars & right_vars)
+        if shared:
+            rr = right
+            for v in shared:
+                rr = rr.withColumnRenamed(v, f"__r_{v}")
+            cond = None
+            for v in shared:
+                eq = F.col(v).eqNullSafe(F.col(f"__r_{v}"))
+                cond = eq if cond is None else (cond & eq)
+            acc = acc.join(rr, cond, "inner").drop(*[f"__r_{v}" for v in shared])
+        else:
+            acc = acc.crossJoin(right)
+        acc_vars |= right_vars
+    drop = [c for c in acc.columns if c.startswith("__ask_")]
+    return acc.drop(*drop) if drop else acc
+
 
 # ---------------------------------------------------------------------------
 
@@ -368,3 +497,10 @@ class DirectMappingStore:
             schema="s_kind string, s_value string, p_value string, o_kind string, "
             "o_value string, o_datatype string, o_lang string, g_value string",
         )
+
+    def bgp(self, patterns: "list[tuple[str, str, str]]") -> DataFrame:
+        """Conjunctive BGP over the VIRTUAL store: each pattern compiles to
+        its own minimal pushed-filter plan (see :func:`match_bgp`) — the
+        joins then run over one pruned scan per pattern, never a
+        materialized graph."""
+        return match_bgp(self, patterns)

@@ -243,3 +243,87 @@ def test_dm_store_bound_object_pushes_typed_filter(spark, tables, tmp_path):
     assert [r.s_value for r in df2.collect()] == [f"{BASE}emp/empno=7499"]
     plan2 = df2._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in plan2
+
+
+def test_bgp_join_chain_books_authors(spark, tables):
+    """BGP chain (?b type books)(?b ref-author ?a)(?a surname ?n): joins on
+    full term identity, one row per matching book/author pair. book 3 has a
+    NULL fk (no ref triple) and must not appear."""
+    store = TripleStore(_full_graph(spark, tables))
+    rows = store.bgp(
+        [
+            ("?b", RDF_TYPE, f"{BASE}books"),
+            ("?b", f"{BASE}books#ref-author_id", "?a"),
+            ("?a", f"{BASE}authors#surname", "?n"),
+        ]
+    ).collect()
+    got = sorted((r.b.value, r.a.value, r.n.value) for r in rows)
+    assert got == [
+        (f"{BASE}books/book_id=1", f"{BASE}authors/author_id=10", "Graeber"),
+        (f"{BASE}books/book_id=2", f"{BASE}authors/author_id=11", "Nordmann"),
+        (f"{BASE}books/book_id=4", f"{BASE}authors/author_id=10", "Graeber"),
+    ]
+    # term structs carry full identity: surname is a plain literal
+    assert {(r.n.kind, r.n.datatype, r.n.lang) for r in rows} == {("literal", None, None)}
+
+
+def test_bgp_repeated_var_and_ask(spark, tables):
+    """A variable repeated WITHIN a pattern filters same-row term equality
+    (no author is their own surname -> empty); a fully-bound pattern acts
+    as an ASK filter: true keeps solutions unchanged, false empties them."""
+    store = TripleStore(_full_graph(spark, tables))
+    assert store.bgp([("?x", f"{BASE}authors#surname", "?x")]).count() == 0
+
+    base_q = [("?a", f"{BASE}authors#surname", "?n")]
+    ask_true = (f"{BASE}books/book_id=1", RDF_TYPE, f"{BASE}books")
+    ask_false = (f"{BASE}books/book_id=999", RDF_TYPE, f"{BASE}books")
+    assert store.bgp([*base_q, ask_true]).count() == 2
+    assert store.bgp([*base_q, ask_false]).count() == 0
+    # ask columns are dropped from the output
+    assert store.bgp([*base_q, ask_true]).columns == ["a", "n"]
+
+
+def test_bgp_term_identity_join_discriminates_kinds(spark):
+    """Join keys must compare kind+datatype, not just the lexical value: an
+    IRI whose value string equals a literal's lexical must NOT join."""
+    schema = ("s_kind string, s_value string, p_value string, o_kind string, "
+              "o_value string, o_datatype string, o_lang string, g_value string")
+    x = "http://collide/"
+    triples = spark.createDataFrame([
+        ("iri", "http://a/1", "http://p/lit", "literal", x, None, None, None),
+        ("iri", x, "http://p/next", "iri", "http://b/2", None, None, None),
+    ], schema)
+    store = TripleStore(triples)
+    # ?m binds a LITERAL in pattern 1 and a SUBJECT (iri) in pattern 2:
+    # same value string, different kinds -> no solution
+    assert store.bgp([
+        ("?s", "http://p/lit", "?m"),
+        ("?m", "http://p/next", "?o"),
+    ]).count() == 0
+    # same-kind join works
+    triples2 = triples.union(spark.createDataFrame([
+        ("iri", "http://a/1", "http://p/iri", "iri", x, None, None, None)
+    ], schema))
+    assert TripleStore(triples2).bgp([
+        ("?s", "http://p/iri", "?m"),
+        ("?m", "http://p/next", "?o"),
+    ]).count() == 1
+
+
+def test_bgp_virtual_store_matches_materialized(spark, tables):
+    """DirectMappingStore.bgp (per-pattern pushed-filter plans, no
+    materialized graph) must produce the same solutions as the
+    TripleStore over the materialized DM graph."""
+    sub = {t: tables[t] for t in ("books", "authors")}
+    virt = DirectMappingStore(spark, sub, CONSTRAINTS, base=BASE)
+    mat = TripleStore(direct_map(spark, sub, CONSTRAINTS, base=BASE))
+    q = [
+        ("?b", f"{BASE}books#ref-author_id", "?a"),
+        ("?a", f"{BASE}authors#forename", "?f"),
+        ("?b", f"{BASE}books#title", "?t"),
+    ]
+    want = sorted((r.b.value, r.a.value, r.f.value, r.t.value)
+                  for r in mat.bgp(q).collect())
+    got = sorted((r.b.value, r.a.value, r.f.value, r.t.value)
+                 for r in virt.bgp(q).collect())
+    assert got == want and len(got) == 3
