@@ -612,6 +612,87 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "text_vocabulary",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, t.tok AS token
+      FROM documents, unnest(string_split_regex(trim(text), '\s+')) AS t(tok)
+      WHERE t.tok != ''
+    )
+    SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+    FROM tok GROUP BY token HAVING COUNT(*) >= 5
+    """,
+)
+def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary (term + document frequency) — the tokenizer-
+    building pass. Exact-count threshold (not top-k: ties make top-k
+    engine-ambiguous); whitespace tokenization matches token_count. The
+    Spark plan explodes per-doc (token, count) pairs built array-side and
+    aggregates them in one token-keyed exchange."""
+    from p5_rdf_rdb2rdf_spark.ops.text import vocabulary
+
+    docs = _load(spark, sf_dir, ["documents"])["documents"]
+    return vocabulary(docs, min_count=5)
+
+
+_CONTAM_PHRASES = ["key agg row", "spark a a", "slow fast table", "zzz-never-present"]
+
+
+@_q(
+    "text_contamination",
+    f"""
+    WITH p(ph) AS (VALUES {", ".join(f"('{p}')" for p in _CONTAM_PHRASES)}),
+    h AS (
+      SELECT d.doc_id, p.ph
+      FROM documents d JOIN p ON strpos(d.text, p.ph) > 0
+    )
+    SELECT d.doc_id,
+           COALESCE(c.n, 0) > 0 AS contaminated,
+           CAST(COALESCE(c.n, 0) AS INT) AS n_hits
+    FROM documents d
+    LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM h GROUP BY doc_id) c USING (doc_id)
+    """,
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination flags: verbatim-phrase containment over a
+    small closed phrase list (one pure-JVM scan, per-phrase contains, no
+    join/shuffle/Python). The DuckDB twin is strpos()>0 — substring
+    semantics are exactly portable. One phrase is guaranteed absent, so
+    the oracle also witnesses the no-hit path."""
+    from p5_rdf_rdb2rdf_spark.ops.text import contamination_flags
+
+    docs = _load(spark, sf_dir, ["documents"])["documents"]
+    return contamination_flags(docs, _CONTAM_PHRASES).select(
+        "doc_id", "contaminated", "n_hits"
+    )
+
+
+@_q(
+    "sample_split_assignment",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 100 < 98 THEN 'train'
+                WHEN doc_id % 100 < 99 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def sample_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (98/1/1) via modulo_split:
+    portable integer arithmetic, so the oracle reproduces MEMBERSHIP
+    exactly, not just sizes. (hashed_split is the production default for
+    clustered ids; its xxhash64 buckets are engine-specific, so it is
+    pinned by structural pytest invariants instead — disjoint, exhaustive,
+    seed-independent.)"""
+    from p5_rdf_rdb2rdf_spark.ops.sample import modulo_split
+
+    docs = _load(spark, sf_dir, ["documents"])["documents"]
+    return modulo_split(
+        docs, "doc_id", {"train": (0, 98), "val": (98, 99), "test": (99, 100)}
+    ).select("doc_id", "split")
+
+
+@_q(
     "ann_threshold_search",
     """
     SELECT q.vec_id AS query_id, c.vec_id

@@ -201,3 +201,77 @@ def repetition_features(
         n_ng.alias("n_ngrams"),
         F.round(dup_ng, 9).alias("dup_ngram_frac"),
     )
+
+
+def vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary with document frequencies — the tokenizer-building
+    / frequency-analysis pass of a training-data pipeline.
+
+    -> (token, tf, df): term frequency (total occurrences) and document
+    frequency (docs containing the token), whitespace tokenization
+    consistent with :func:`token_count`. Shape that survives 10^12 docs:
+    tokens explode map-side and aggregate with partial (map-side combine)
+    hash aggregation, so the exchange carries one row per DISTINCT token
+    per partition — corpus volume never crosses the shuffle. ``min_count``
+    filters AFTER the global aggregate (a threshold, not a top-k: top-k
+    under ties is engine-ambiguous, a count threshold is an exact set any
+    engine reproduces — the driver oracle does, via DuckDB unnest).
+
+    Per-doc (token, count) pairs are built ARRAY-side first (distinct
+    tokens x a filter-count each — O(distinct x tokens) per doc, cheap for
+    natural-language docs), so ONE explode feeds ONE token-keyed exchange
+    computing both tf (sum of per-doc counts) and df (row count = docs)
+    with map-side combine; the alternative two-aggregates-plus-join shape
+    costs three exchanges."""
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    pairs = F.transform(
+        F.array_distinct(F.filter(toks, lambda t: t != "")),
+        lambda k: F.struct(
+            k.alias("token"),
+            F.size(F.filter(toks, lambda t: t == k)).alias("c"),
+        ),
+    )
+    out = (
+        df.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.token").alias("token"))
+        .agg(F.sum("p.c").alias("tf"), F.count("*").alias("df"))
+    )
+    return out.where(F.col("tf") >= min_count) if min_count > 1 else out
+
+
+def contamination_flags(
+    df: DataFrame,
+    phrases: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-decontamination pass: flag documents containing any of a
+    small set of verbatim phrases (eval-set spans, canary strings).
+
+    -> (id, contaminated, n_hits, hit_phrases). The phrase list is
+    closed and small (benchmark spans), so it rides the plan as a literal
+    array and the whole check is ONE pure-JVM scan — per-phrase
+    ``contains`` over the text column, no join, no shuffle, no Python.
+    Substring semantics (not token n-grams) deliberately: it is the
+    strictest reproducible containment test, and any SQL engine's
+    ``position()>0`` reproduces it exactly (the driver oracle does).
+    For open-ended/huge phrase sets use the shingle-hash semi-join in
+    :mod:`.dedup` instead — this operator's contract is the exact,
+    auditable small-list pass."""
+    if not phrases:
+        raise ValueError("phrases must be non-empty")
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    hits = F.filter(
+        F.array(*[F.lit(p) for p in phrases]),
+        lambda p: F.instr(t, p) > 0,
+    )
+    return df.select(
+        F.col(id_col),
+        (F.size(hits) > 0).alias("contaminated"),
+        F.size(hits).alias("n_hits"),
+        F.array_sort(hits).alias("hit_phrases"),
+    )

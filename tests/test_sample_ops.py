@@ -1,0 +1,67 @@
+"""Deterministic sampling / split assignment (ops/sample.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from p5_rdf_rdb2rdf_spark.ops.sample import (
+    deterministic_sample,
+    hashed_split,
+    modulo_split,
+)
+
+SPLITS = {"train": (0, 98), "val": (98, 99), "test": (99, 100)}
+
+
+def test_modulo_split_exact_membership(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    got = {r.doc_id: r.split for r in modulo_split(df, "doc_id", SPLITS).collect()}
+    for i in range(1000):
+        want = "train" if i % 100 < 98 else ("val" if i % 100 == 98 else "test")
+        assert got[i] == want
+    # uncovered buckets -> NULL (not sampled)
+    part = {r.doc_id: r.split for r in modulo_split(
+        df, "doc_id", {"keep": (0, 10)}).collect()}
+    assert part[5] == "keep" and part[10] is None
+
+
+def test_hashed_split_structural_invariants(spark):
+    """Engine-deterministic but not portable: pin structure — exhaustive,
+    disjoint (one assignment per row), stable across partitionings, seed
+    changes membership but preserves coverage, and bucket sizes are
+    plausibly uniform."""
+    df = spark.range(0, 10_000).withColumnRenamed("id", "doc_id")
+    s1 = hashed_split(df, "doc_id", SPLITS, seed=0)
+    a = {r.doc_id: r.split for r in s1.collect()}
+    assert set(a.values()) == {"train", "val", "test"}  # exhaustive ranges
+    b = {r.doc_id: r.split
+         for r in hashed_split(df.repartition(13), "doc_id", SPLITS, seed=0).collect()}
+    assert a == b  # partitioning-independent
+    c = {r.doc_id: r.split for r in hashed_split(df, "doc_id", SPLITS, seed=7).collect()}
+    assert a != c and set(c.values()) == {"train", "val", "test"}
+    n_train = sum(1 for v in a.values() if v == "train")
+    assert 9600 < n_train < 9950  # ~9800 expected; loose binomial bounds
+
+
+def test_deterministic_sample_and_validation(spark):
+    df = spark.range(0, 10_000).withColumnRenamed("id", "doc_id")
+    s = deterministic_sample(df, "doc_id", rate_pct=10)
+    n = s.count()
+    assert 800 < n < 1200  # ~1000
+    assert s.count() == n  # re-run selects the SAME rows
+    assert s.columns == ["doc_id"]
+    exact = deterministic_sample(df, "doc_id", rate_pct=10, hashed=False)
+    assert exact.count() == 1000  # id % 100 < 10: exactly 10%
+
+    with pytest.raises(ValueError):
+        modulo_split(df, "doc_id", {"a": (0, 50), "b": (40, 60)})  # overlap
+    with pytest.raises(ValueError):
+        modulo_split(df, "doc_id", {"a": (0, 101)})  # out of range
+
+
+def test_split_ops_plan_pure_jvm_no_shuffle(spark):
+    df = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    for out in (modulo_split(df, "doc_id", SPLITS), hashed_split(df, "doc_id", SPLITS)):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "Exchange" not in plan

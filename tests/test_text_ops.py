@@ -147,3 +147,69 @@ def test_repetition_features_planted(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_vocabulary_matches_python_oracle(spark):
+    """tf = every occurrence, df = one per containing doc; whitespace
+    tokenization identical to token_count; empty/NULL rows contribute
+    nothing; min_count filters on tf after the global aggregate."""
+    from collections import Counter
+
+    from p5_rdf_rdb2rdf_spark.ops.text import vocabulary
+
+    rows = [
+        (1, "a b a  c"),
+        (2, "b b d"),
+        (3, ""),
+        (4, None),
+        (5, " a "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    tf, dfreq = Counter(), Counter()
+    for _i, t in rows:
+        toks = (t or "").split()
+        tf.update(toks)
+        dfreq.update(set(toks))
+    got = {r.token: (r.tf, r.df) for r in vocabulary(df).collect()}
+    assert got == {t: (tf[t], dfreq[t]) for t in tf}
+    got5 = {r.token for r in vocabulary(df, min_count=3).collect()}
+    assert got5 == {t for t in tf if tf[t] >= 3} == {"a", "b"}
+
+
+def test_vocabulary_plan_is_single_exchange_no_python(spark):
+    """The vocab aggregate must be ONE token-keyed exchange (per-doc pairs
+    built array-side; map-side partial agg) with no Python eval."""
+    from p5_rdf_rdb2rdf_spark.ops.text import vocabulary
+
+    df = spark.createDataFrame([(1, "a b a")], "doc_id int, text string")
+    plan = vocabulary(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_contamination_flags(spark):
+    from p5_rdf_rdb2rdf_spark.ops.text import contamination_flags
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "quick brown elsewhere and the canary AAA-BBB string"),
+            (3, None),
+            (4, "nothing to see"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id: (r.contaminated, r.n_hits, list(r.hit_phrases))
+        for r in contamination_flags(df, ["quick brown", "AAA-BBB", "zebra"]).collect()
+    }
+    assert got == {
+        1: (True, 1, ["quick brown"]),
+        2: (True, 2, ["AAA-BBB", "quick brown"]),
+        3: (False, 0, []),
+        4: (False, 0, []),
+    }
+    plan = (
+        contamination_flags(df, ["x"])._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "Exchange" not in plan and "Join" not in plan
