@@ -1056,14 +1056,23 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     row witnesses byte-exact pixel extraction: BMP padding stripped, row
     order irrelevant to the stats, PGM raster offset exact. The sha256
     metadata fallback is unreachable for these formats."""
-    import struct
-
     from p5_rdf_rdb2rdf_spark.ops.multimodal import decode_pixel_stats
 
+    return decode_pixel_stats(_closed_form_image_media(spark, sf_dir))
+
+
+def _closed_form_image_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_ref, kind, payload) with codec-free closed-form rasters: even
+    doc_ids a binary PGM (header comment exercises the tokenizer), odd
+    doc_ids a 24-bit BOTTOM-UP BMP with 4-byte row padding; every sample in
+    row r equals r + doc_id (< 256 for doc_id < 200). Shared by the
+    pixel-stat and resize oracle queries."""
     docs = _load(spark, sf_dir, ["documents"])["documents"].where("doc_id < 200")
 
     @F.pandas_udf("binary")
     def payload(doc_ids: pd.Series) -> pd.Series:
+        import struct
+
         def build(d: int) -> bytes:
             w, h = 8 + d % 5, 6 + d % 7
             if d % 2 == 0:
@@ -1083,12 +1092,41 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return doc_ids.map(build)
 
-    media = docs.select(
+    return docs.select(
         F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_ref"),
         F.lit("image").alias("kind"),
         payload(F.col("doc_id")).alias("payload"),
     )
-    return decode_pixel_stats(media)
+
+
+@_q(
+    "multimodal_resize",
+    """
+    WITH d AS (
+      SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 7 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch
+      FROM documents WHERE doc_id < 200
+    ),
+    rs AS (SELECT doc_id, w, h, ch, t.i AS i FROM d, unnest(range(3)) AS t(i))
+    SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_ref,
+           CASE WHEN doc_id % 2 = 0 THEN 'pgm' ELSE 'bmp' END AS format,
+           4 AS width, 3 AS height, CAST(ch AS INT) AS channels,
+           CAST(SUM(4 * ch * (doc_id + (i * h) // 3)) AS BIGINT) AS px_sum
+    FROM rs GROUP BY doc_id, ch
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL nearest-neighbor resize under the oracle gate: the closed-form
+    rasters (row r == doc_id + r) resize to 4x3 grids whose row i is
+    uniformly doc_id + (i*h)//3 AFTER orientation normalization — so the
+    resized pixel sum is exact integer arithmetic in both engines, and a
+    green row witnesses the bottom-up BMP flip, the padding strip, and the
+    floor-NN index map all at once."""
+    from p5_rdf_rdb2rdf_spark.ops.multimodal import resize_images
+
+    return resize_images(_closed_form_image_media(spark, sf_dir), 4, 3).select(
+        "media_ref", "format", "width", "height", "channels", "px_sum"
+    )
 
 
 # --- O40: span-sequence invariant, checked through the contract ------------

@@ -101,10 +101,16 @@ def child(job: str, master: str, cores: int) -> None:
         li.count()  # replication materialized OUTSIDE the timed window
         tables["lineitem"] = li
         t0 = time.time()
+        # SPARK_SCALE_DM_TRUSTED=0 forces the untrusted-keys path (global
+        # set-semantics dedup shuffle) — the memory-saturating regime the
+        # north-rule weak-scaling probe targets; default is the engine
+        # default (enforced-PK fast path, scan-bound)
+        trusted = os.environ.get("SPARK_SCALE_DM_TRUSTED", "1") != "0"
         n = direct_map(
             spark, tables, entry.TPCH_CONSTRAINTS, base=entry.BASE,
             only=["region", "nation", "customer", "supplier", "part",
                   "orders", "lineitem", "events"],
+            assume_key_integrity=trusted,
         ).count()
         wall = time.time() - t0
         stages = {}

@@ -365,6 +365,82 @@ def decode_pixel_stats(media: DataFrame) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("pixels", T.BinaryType()),
+        T.StructField("px_sum", T.LongType()),
+    ]
+)
+
+
+def _resize_kernel(payload: bytes, out_w: int, out_h: int):
+    """REAL nearest-neighbor resize for the codec-free formats —
+    (format, out_w, out_h, channels, resized_bytes, px_sum); None when the
+    payload isn't decodable BMP/PNM (never fabricated). Orientation is
+    normalized to top-down first (bottom-up BMPs are flipped), so the same
+    source image resizes identically regardless of its stored row order;
+    sample index (r, c) maps from source ((r*h)//out_h, (c*w)//out_w) —
+    the floor-NN convention every engine reproduces with integer
+    arithmetic. Output bytes keep the source sample dtype (uint8, or
+    big-endian uint16 for 16-bit PNM) in row-major (h, w, ch) order with
+    the source channel order (BMP stays BGR) — resize selects samples, it
+    does not reinterpret them."""
+    bmp = _bmp_pixels(payload)
+    if bmp is not None:
+        w, h, ch, samples = bmp
+        fmt = "bmp"
+        arr = samples.reshape(h, w, ch)
+        hdr = _bmp_header(payload)
+        if hdr is not None and hdr[1] > 0:  # positive height = bottom-up
+            arr = arr[::-1]
+    else:
+        pnm = _pnm_pixels(payload)
+        if pnm is None:
+            return None
+        fmt, w, h, ch, samples = pnm
+        arr = samples.reshape(h, w, ch)
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    out = np.ascontiguousarray(arr[rows][:, cols])
+    return fmt, out_w, out_h, ch, out.tobytes(), int(out.sum(dtype=np.int64))
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """binary payloads -> nearest-neighbor-resized pixel grids for the
+    codec-free formats (uncompressed BMP, binary PGM/PPM) — REAL pixel
+    work, same mapInPandas Arrow-batch shape as the other decoders.
+    Undecodable payloads report format='unknown' with NULL pixels. The
+    preprocessing shape of a multimodal training pipeline: fixed-size
+    thumbnail grids ready for a feature extractor, resized where the data
+    lives (one scan, no shuffle, per-batch numpy)."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("out_w/out_h must be positive")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        nulls = ("unknown", None, None, None, None, None)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = [
+                _resize_kernel(bytes(p), out_w, out_h) or nulls
+                for p in pdf["payload"]
+            ]
+            out = pd.DataFrame(
+                rows, columns=[f.name for f in RESIZED_SCHEMA.fields[1:]]
+            )
+            out.insert(0, "media_ref", pdf["media_ref"].to_numpy())
+            yield out
+
+    return media.where(F.col("kind") == "image").select(
+        "media_ref", "payload"
+    ).mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 AUDIO_META_SCHEMA = T.StructType(
     [
         T.StructField("media_ref", T.StringType()),

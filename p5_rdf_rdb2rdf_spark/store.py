@@ -134,7 +134,12 @@ def match_bgp(store: "TripleStore | DirectMappingStore",
     ``get_pattern`` by iterating ``get_statements`` per triple pattern and
     nested-loop-joining bindings driver-side; this is the same semantics as
     a distributed join plan. No OPTIONAL/UNION/FILTER — conjunctive
-    patterns only, matching what the reference test-suite exercises."""
+    patterns only, matching what the reference test-suite exercises.
+    Solutions are bag-semantics over the STORED statements (standard BGP
+    matching): a store holding duplicate triples yields duplicate
+    solutions — graphs written through set-semantics paths (GraphTable,
+    ``dedup=True`` compilation) are distinct by contract, so their
+    solution bags are sets."""
     if not patterns:
         raise ValueError("empty basic graph pattern")
 

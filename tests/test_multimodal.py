@@ -471,3 +471,69 @@ def test_pixel_kernels_total_on_arbitrary_bytes():
         assert isinstance(fmt, str)
 
     run()
+
+
+def test_resize_kernel_nn_matches_python_oracle():
+    """Nearest-neighbor resize vs an independent Python double loop: exact
+    sample selection with the floor index map, on a PGM with fully distinct
+    pixel values (catches any row/col index swap)."""
+    import numpy as np
+
+    from p5_rdf_rdb2rdf_spark.ops.multimodal import _resize_kernel
+
+    w, h, ow, oh = 5, 4, 3, 2
+    src = np.arange(w * h, dtype=np.uint8).reshape(h, w)
+    pgm = b"P5\n%d %d\n255\n" % (w, h) + src.tobytes()
+    fmt, gw, gh, ch, px, s = _resize_kernel(pgm, ow, oh)
+    assert (fmt, gw, gh, ch) == ("pgm", ow, oh, 1)
+    got = np.frombuffer(px, dtype=np.uint8).reshape(oh, ow)
+    want = np.array(
+        [[src[(r * h) // oh][(c * w) // ow] for c in range(ow)] for r in range(oh)],
+        dtype=np.uint8,
+    )
+    assert (got == want).all() and s == int(want.sum())
+
+
+def test_resize_kernel_bmp_orientation_normalized():
+    """Bottom-up and top-down BMPs with the same LOGICAL content must resize
+    to identical grids (orientation normalized before the index map); the
+    resized first row must come from the logical TOP of the image."""
+    import numpy as np
+
+    from p5_rdf_rdb2rdf_spark.ops.multimodal import _resize_kernel
+
+    w, h = 3, 4
+    up = _resize_kernel(_bmp24(w, h, lambda r: 10 + r), 2, 2)
+    down = _resize_kernel(_bmp24(w, h, lambda r: 10 + r, top_down=True), 2, 2)
+    assert up is not None and up == down
+    fmt, ow, oh, ch, px, s = up
+    grid = np.frombuffer(px, dtype=np.uint8).reshape(oh, ow, ch)
+    assert (grid[0] == 10).all()  # logical row 0 (top), value 10 + 0
+    assert (grid[1] == 12).all()  # source row (1*4)//2 = 2 -> value 12
+    assert s == 2 * 3 * (10 + 12)
+    # truncated raster -> None, never a fabricated grid
+    assert _resize_kernel(_bmp24(w, h, lambda r: r)[:-4], 2, 2) is None
+    assert _resize_kernel(b"\x89PNG not a codec-free format", 2, 2) is None
+
+
+def test_resize_images_dataframe_and_16bit(spark):
+    """resize_images end-to-end: schema, unknown fallback, and 16-bit PNM
+    samples keep their dtype (big-endian) through the resize."""
+    import numpy as np
+
+    from p5_rdf_rdb2rdf_spark.ops.multimodal import resize_images
+
+    vals = np.array([[300, 700], [65535, 0]], dtype=">u2")
+    rows = [
+        ("a", "image", b"P5\n2 2\n65535\n" + vals.tobytes()),
+        ("b", "image", b"not an image"),
+        ("c", "audio", b"RIFF"),  # filtered by kind
+    ]
+    df = spark.createDataFrame(rows, "media_ref string, kind string, payload binary")
+    got = {r.media_ref: r for r in resize_images(df, 1, 1).collect()}
+    assert set(got) == {"a", "b"}
+    a = got["a"]
+    assert (a.format, a.width, a.height, a.channels) == ("pgm", 1, 1, 1)
+    assert np.frombuffer(a.pixels, dtype=">u2")[0] == 300  # src[0][0]
+    assert a.px_sum == 300
+    assert got["b"].format == "unknown" and got["b"].pixels is None
