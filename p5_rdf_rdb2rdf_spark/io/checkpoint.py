@@ -84,12 +84,22 @@ class StageCheckpointer:
         # per stage at 100 TB.)
         from .footers import parquet_file_rows, task_partition_id
 
+        # Two passes: real task pids first, THEN tail slots for non-Spark-
+        # named files — interleaving them let an alphabetically-early alien
+        # file claim pid 0 and absorb a real partition's counts (review r5).
+        file_rows = parquet_file_rows(self.spark, out_dir)
         rows_by_pid: dict[int, int] = {}
-        for fpath, rows in parquet_file_rows(self.spark, out_dir):
+        unnamed: list[int] = []
+        for fpath, rows in file_rows:
             pid = task_partition_id(fpath)
-            if pid is None:  # non-Spark-named data file: tail slot
-                pid = max(rows_by_pid, default=-1) + 1
-            rows_by_pid[pid] = rows_by_pid.get(pid, 0) + rows
+            if pid is None:
+                unnamed.append(rows)
+            else:
+                rows_by_pid[pid] = rows_by_pid.get(pid, 0) + rows
+        next_pid = max(rows_by_pid, default=-1) + 1
+        for rows in unnamed:
+            rows_by_pid[next_pid] = rows
+            next_pid += 1
         per_part = [
             {"partition": pid, "rows": rows_by_pid[pid]} for pid in sorted(rows_by_pid)
         ]

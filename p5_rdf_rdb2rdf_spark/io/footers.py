@@ -33,12 +33,25 @@ _PART_RE = re.compile(r"part-(\d+)-")
 
 
 def _is_local(path: str) -> bool:
+    """True only when ``path`` is walkable with os.walk: scheme-less, or a
+    file: URI with an EMPTY authority (``file:///p``, ``file:/p``).
+    ``file://host/p`` names a remote authority — os.walk of the naive strip
+    ('//host/p') would silently find nothing and record zero rows (review
+    r5) — so it routes to the Hadoop FileSystem path like any other URI."""
     scheme = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*):", path)
-    return scheme is None or scheme.group(1) == "file"
+    if scheme is None:
+        return True
+    if scheme.group(1) != "file":
+        return False
+    rest = path[len("file:"):]
+    return not rest.startswith("//") or rest.startswith("///")
 
 
 def _strip_scheme(path: str) -> str:
-    return path[len("file:"):] if path.startswith("file:") else path
+    if not path.startswith("file:"):
+        return path
+    rest = path[len("file:"):]
+    return rest[2:] if rest.startswith("///") else rest
 
 
 def parquet_file_rows(spark: SparkSession, directory: str) -> list[tuple[str, int]]:

@@ -103,6 +103,15 @@ class GraphTable:
         self.iceberg = _has_iceberg(spark, iceberg_catalog)
         self.iceberg_ref = f"{iceberg_catalog}.{iceberg_table}" if self.iceberg else None
         self._bucket_cache: dict[str, int] = {}  # predicate -> bucket memo
+        # A table's bucket count is fixed at creation (like Hive bucketing):
+        # every bucket-pruning path recomputes pmod(xxhash64(p), K) and MUST
+        # use the K the data was written with — a process reopening the table
+        # with a different constructor default would otherwise prune the
+        # merge anti-join's parent to the WRONG buckets and silently append
+        # duplicate triples. Adopt the write-time truth from the manifest.
+        cur = self.current_snapshot()
+        if cur is not None and cur.get("n_buckets") not in (None, n_buckets):
+            self.n_buckets = cur["n_buckets"]
 
     # -- write ---------------------------------------------------------------
     def write(
@@ -238,6 +247,7 @@ class GraphTable:
                 "dir": data_dir,
                 "created_at": time.time(),
                 "parent": manifest.get("current"),
+                "n_buckets": self.n_buckets,
                 "partition_rows": counts,
                 "pred_buckets": pred_buckets,
                 # True iff pred_buckets covers EVERY predicate in this

@@ -162,11 +162,13 @@ def _bmp_header(payload: bytes) -> tuple[int, int, int, int, int] | None:
 
 def _bmp_pixels(payload: bytes):
     """Uncompressed-BMP PIXEL decode — the real thing, no codec library:
-    (width, height, channels, samples: flat uint8 ndarray). Row stride is
-    padded to 4 bytes; the padding bytes are STRIPPED (they are not pixels).
-    8-bit payloads yield palette indices (1 channel; grayscale BMPs use the
-    identity palette). Returns None when the declared pixel array is
-    truncated — no fabricated stats for missing bytes."""
+    (width, height, channels, samples: flat uint8 ndarray, top_down). Row
+    stride is padded to 4 bytes; the padding bytes are STRIPPED (they are
+    not pixels). 8-bit payloads yield palette indices (1 channel; grayscale
+    BMPs use the identity palette). ``top_down`` is the stored row order
+    (negative header height) so orientation-sensitive consumers (resize)
+    need no second header parse. Returns None when the declared pixel array
+    is truncated — no fabricated stats for missing bytes."""
     hdr = _bmp_header(payload)
     if hdr is None:
         return None
@@ -178,7 +180,7 @@ def _bmp_pixels(payload: bytes):
         return None
     arr = np.frombuffer(data, dtype=np.uint8).reshape(abs_h, stride)
     samples = arr[:, : (bpp // 8) * width].reshape(-1)
-    return width, abs_h, channels, samples
+    return width, abs_h, channels, samples, height < 0
 
 
 def _pnm_header(payload: bytes) -> tuple[str, int, int, int, int] | None:
@@ -317,7 +319,7 @@ def _pixel_stats_kernel(payload: bytes):
     fabricated, unlike the metadata kernel's labeled fallback."""
     bmp = _bmp_pixels(payload)
     if bmp is not None:
-        w, h, ch, samples = bmp
+        w, h, ch, samples, _top_down = bmp  # row order irrelevant to stats
         fmt = "bmp"
     else:
         pnm = _pnm_pixels(payload)
@@ -392,11 +394,10 @@ def _resize_kernel(payload: bytes, out_w: int, out_h: int):
     does not reinterpret them."""
     bmp = _bmp_pixels(payload)
     if bmp is not None:
-        w, h, ch, samples = bmp
+        w, h, ch, samples, top_down = bmp
         fmt = "bmp"
         arr = samples.reshape(h, w, ch)
-        hdr = _bmp_header(payload)
-        if hdr is not None and hdr[1] > 0:  # positive height = bottom-up
+        if not top_down:  # bottom-up storage: normalize to top-down
             arr = arr[::-1]
     else:
         pnm = _pnm_pixels(payload)

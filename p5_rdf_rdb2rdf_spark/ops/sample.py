@@ -99,7 +99,11 @@ def deterministic_sample(
     """Keep a deterministic ~``rate_pct``/``total`` fraction of rows.
 
     Sugar over the split operators: bucket < rate_pct. ``hashed=False``
-    selects ``id % total < rate_pct`` (portable, id-uniformity caveat)."""
+    selects ``id % total < rate_pct`` (portable, id-uniformity caveat).
+    ``rate_pct=0`` keeps nothing (valid for dynamically-computed rates and
+    ablation sweeps — review r5); ``rate_pct=total`` keeps everything."""
+    if rate_pct == 0:
+        return df.where(F.lit(False))
     fn = hashed_split if hashed else modulo_split
     kw = {"seed": seed} if hashed else {}
     out = fn(df, id_col, {"keep": (0, rate_pct)}, total=total, out_col="__s", **kw)

@@ -207,6 +207,7 @@ def vocabulary(
     df: DataFrame,
     text_col: str = "text",
     min_count: int = 1,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Corpus vocabulary with document frequencies — the tokenizer-building
     / frequency-analysis pass of a training-data pipeline.
@@ -221,24 +222,24 @@ def vocabulary(
     under ties is engine-ambiguous, a count threshold is an exact set any
     engine reproduces — the driver oracle does, via DuckDB unnest).
 
-    Per-doc (token, count) pairs are built ARRAY-side first (distinct
-    tokens x a filter-count each — O(distinct x tokens) per doc, cheap for
-    natural-language docs), so ONE explode feeds ONE token-keyed exchange
-    computing both tf (sum of per-doc counts) and df (row count = docs)
-    with map-side combine; the alternative two-aggregates-plus-join shape
-    costs three exchanges."""
+    Linear two-level aggregate: explode raw tokens, collapse to per-doc
+    (token, count) — the partial aggregation combines within-partition
+    duplicates map-side before the (id, token) exchange, and explode
+    preserves row locality so a doc's tokens partial-aggregate together —
+    then one token-keyed aggregate computes tf (sum) and df (row count =
+    docs). Work is O(total tokens); an earlier array-side build (distinct
+    tokens x filter-count per doc) was one exchange cheaper but
+    O(distinct x total) PER DOCUMENT — a single 20k-distinct-token doc
+    cost ~4x10^8 comparisons in one task (review r5)."""
     toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
-    pairs = F.transform(
-        F.array_distinct(F.filter(toks, lambda t: t != "")),
-        lambda k: F.struct(
-            k.alias("token"),
-            F.size(F.filter(toks, lambda t: t == k)).alias("c"),
-        ),
+    per_doc = (
+        df.select(F.col(id_col).alias("__doc"), F.explode(toks).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("__doc", "token")
+        .agg(F.count("*").alias("c"))
     )
-    out = (
-        df.select(F.explode(pairs).alias("p"))
-        .groupBy(F.col("p.token").alias("token"))
-        .agg(F.sum("p.c").alias("tf"), F.count("*").alias("df"))
+    out = per_doc.groupBy("token").agg(
+        F.sum("c").alias("tf"), F.count("*").alias("df")
     )
     return out.where(F.col("tf") >= min_count) if min_count > 1 else out
 

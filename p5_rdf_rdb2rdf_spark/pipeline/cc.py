@@ -26,7 +26,7 @@ def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_iter: int = 20,
+    max_iter: int = 64,
     driver_threshold: int = 200_000,
     size_hint: int | None = None,
     stats: dict | None = None,
@@ -263,6 +263,18 @@ def connected_components(
             stats.setdefault("iter_slim_doubling", []).append(slim)
         if changed == 0:
             break
+    if n_changed:
+        # Silent truncation returned NON-MINIMAL labels as if converged —
+        # and slim (stale-by-one) doubling can cost one extra iteration on
+        # pure chains, so the budget must fail loudly, never quietly
+        # (review r5). 64 doubling iterations cover any graph this engine
+        # can hold (diameter 2^64); hitting the cap means a pathological
+        # input or a bug, both of which the caller must see.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} iterations ({n_changed} labels still changing); "
+            "raise max_iter or check the edge list for pathology"
+        )
     return labels
 
 

@@ -47,21 +47,71 @@ def pair_extractor(pattern: str):
     return extract
 
 
-def _re2_compatible(patterns: list[str]) -> bool:
-    """Probe each pattern against pyarrow's RE2 engine (driver-side, empty
-    array): RE2 rejects backtracking constructs (backrefs, lookaround) that
-    Python ``re`` accepts, so callers with such patterns get the pandas
-    fallback instead of an executor-side error."""
+# Python re's \s (and the negation \S) is Unicode: ASCII [\t-\r ] plus
+# \x1c-\x1f and every str.isspace() codepoint. RE2's default \s is ASCII-only,
+# so \S silently matches NBSP etc. under RE2. This explicit class IS Python's
+# \s, verified exhaustively over the BMP in tests (test_pipeline.py).
+_PY_WS = (
+    # literal codepoints (RE2 has no \\uXXXX escape, only \\x{...}): the
+    # chr() build keeps the class readable and byte-exact — it must equal
+    # Python re's \\s, which the exhaustive BMP test pins.
+    "\\t-\\r"
+    + chr(0x1C) + "-" + chr(0x1F)
+    + " " + chr(0x85) + chr(0xA0) + chr(0x1680)
+    + chr(0x2000) + "-" + chr(0x200A)
+    + chr(0x2028) + chr(0x2029) + chr(0x202F) + chr(0x205F) + chr(0x3000)
+)
+
+
+def _re2_equivalent(pattern: str) -> str | None:
+    """Rewrite ``pattern`` into an RE2 pattern with PYTHON ``re`` match
+    semantics, or None when equivalence can't be guaranteed (caller falls
+    back to pandas). Guarded, conservative transforms only:
+
+    - ``\\S``/``\\s`` -> explicit Unicode-whitespace classes (RE2's are
+      ASCII-only; Python's are not);
+    - one trailing ``$`` -> ``\\n?$`` (Python ``$`` also matches before a
+      single final newline; RE2's matches only at end — consuming the
+      optional newline is equivalent for group extraction);
+    - any OTHER ``$``, any ``\\w \\W \\d \\D \\b \\B \\Z`` (Unicode/ASCII
+      divergence or unsupported), any character class, backref or inline
+      flag -> None. ``^`` is safe (both anchor at start only, no re.M).
+    """
+    import re as _re
+
+    if _re.search(r"\((\?[aiLmsux]|\?P=|\?<?[=!])|\\[wWdDbBZ]|\[", pattern):
+        return None
+    body = pattern
+    trailing_dollar = body.endswith("$") and not body.endswith(r"\$")
+    if trailing_dollar:
+        body = body[:-1]
+    if _re.search(r"(?<!\\)\$", body.replace("\\\\", "")):
+        return None  # non-trailing $: Python-vs-RE2 semantics differ
+    body = body.replace("\\S", f"[^{_PY_WS}]").replace("\\s", f"[{_PY_WS}]")
+    return body + ("\\n?$" if trailing_dollar else "")
+
+
+def _re2_compatible(patterns: list[str]) -> list[str] | None:
+    """Python-semantics RE2 rewrites for every pattern, or None if any
+    pattern can't be made equivalent (backtracking constructs, divergent
+    escapes) or pyarrow's RE2 rejects the rewrite — the caller then takes
+    the pandas fallback. Decided once, driver-side."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    rewritten = []
+    for p in patterns:
+        r = _re2_equivalent(p)
+        if r is None:
+            return None
+        rewritten.append(r)
     empty = pa.array([], type=pa.string())
     try:
-        for p in patterns:
-            pc.extract_regex(empty, p)
-        return True
+        for r in rewritten:
+            pc.extract_regex(empty, r)
+        return rewritten
     except Exception:  # noqa: BLE001 - any rejection -> fallback path
-        return False
+        return None
 
 
 def fused_extractor(patterns: list[str]):
@@ -75,18 +125,22 @@ def fused_extractor(patterns: list[str]):
     backtracking): micro-benched ~5x faster than the former
     ``Series.str.extract`` on the corpus templates (2M spans: 1.5s vs
     7.7s), with byte-identical output — cross-checked in
-    tests/test_pipeline.py. extract_regex leaves child fields unmasked for
-    non-matching rows, so the struct's own validity bitmap is applied
-    explicitly (a bare ``.field()`` read returns garbage for misses).
-    Patterns RE2 can't run fall back to the pandas path, chosen once
-    driver-side."""
+    tests/test_pipeline.py. Each pattern is first REWRITTEN into an RE2
+    form with Python ``re`` match semantics (:func:`_re2_equivalent`:
+    Unicode \\S/\\s classes, trailing-``$``-before-newline behavior —
+    RE2's defaults silently diverge on both), and any pattern that can't
+    be proven equivalent routes the whole extractor to the pandas path,
+    chosen once driver-side. extract_regex leaves child fields unmasked
+    for non-matching rows, so the struct's own validity bitmap is applied
+    explicitly (a bare ``.field()`` read returns garbage for misses)."""
     compiled = [re.compile(p) for p in patterns]  # validate Python-side
     fields = []
     for i in range(len(patterns)):
         fields += [T.StructField(f"a{i}", T.StringType()), T.StructField(f"b{i}", T.StringType())]
     schema = T.StructType(fields)
 
-    if _re2_compatible(patterns):
+    re2_patterns = _re2_compatible(patterns)
+    if re2_patterns is not None:
 
         @F.pandas_udf(schema)
         def extract(texts: pd.Series) -> pd.DataFrame:
@@ -96,7 +150,7 @@ def fused_extractor(patterns: list[str]):
             arr = pa.Array.from_pandas(texts)
             null_str = pa.scalar(None, pa.string())
             cols = {}
-            for i, p in enumerate(patterns):
+            for i, p in enumerate(re2_patterns):
                 m = pc.extract_regex(arr, p)
                 valid = m.is_valid()
                 cols[f"a{i}"] = pc.if_else(valid, m.field("a"), null_str).to_pandas()

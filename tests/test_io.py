@@ -579,3 +579,65 @@ def test_driver_side_writers_guard_collect(spark):
     with pytest.raises(ValueError, match="max_triples"):
         to_turtle(big, max_triples=10)
     assert len(to_ntriples(big, max_triples=1000)) == 100
+
+
+def test_graph_table_reopen_adopts_write_time_bucket_count(spark, tables, tmp_path):
+    """A table's bucket count is fixed at creation: a process reopening the
+    table with a different constructor default must adopt the manifest's
+    write-time n_buckets — merge pruning recomputes pmod(xxhash64(p), K)
+    and a mismatched K would prune the anti-join's parent to the wrong
+    buckets and silently append duplicates (review r5)."""
+    triples = direct_map(spark, {"dept": tables["dept"]}, CONSTRAINTS, base=BASE)
+    path = str(tmp_path / "gtk")
+    gt = GraphTable(spark, path, n_buckets=8, closed_vocabulary=True)
+    gt.write(triples)
+    assert gt.current_snapshot()["n_buckets"] == 8
+
+    gt2 = GraphTable(spark, path)  # constructor default 32 != write-time 8
+    assert gt2.n_buckets == 8
+    before = gt2.read().count()
+    gt2.merge(triples)  # known triples: the delta must be EMPTY
+    assert gt2.read().count() == before
+    assert gt2.read().distinct().count() == before
+
+
+def test_footers_file_uri_authority_handling():
+    """file: URIs with an authority are NOT os.walk-able: 'file://host/p'
+    must route to the Hadoop FileSystem path (the naive '//host/p' strip
+    silently found zero files and recorded zero rows — review r5);
+    'file:///p' and 'file:/p' are local and strip to '/p'."""
+    from p5_rdf_rdb2rdf_spark.io.footers import _is_local, _strip_scheme
+
+    assert _is_local("/data/x") and _is_local("file:/data/x")
+    assert _is_local("file:///data/x")
+    assert not _is_local("file://somehost/data/x")
+    assert not _is_local("hdfs://nn/data/x") and not _is_local("s3a://b/k")
+    assert _strip_scheme("file:///data/x") == "/data/x"
+    assert _strip_scheme("file:/data/x") == "/data/x"
+    assert _strip_scheme("/data/x") == "/data/x"
+
+
+def test_checkpoint_lineage_tail_slot_no_pid_collision(spark, tmp_path, monkeypatch):
+    """Alien (non-Spark-named) parquet files in a stage listing must get
+    tail partition ids AFTER every real task pid — an alphabetically-early
+    alien file previously claimed pid 0 and absorbed a real partition's
+    counts (review r5). The listing is synthesized (alien first) to pin the
+    assignment order independent of directory enumeration."""
+    from p5_rdf_rdb2rdf_spark.io import footers
+    from p5_rdf_rdb2rdf_spark.io.checkpoint import StageCheckpointer
+
+    def fake_listing(_spark, d):
+        return [
+            (f"{d}/aaa-extra.parquet", 3),  # sorts before part-00000
+            (f"{d}/part-00000-u1.parquet", 25),
+            (f"{d}/part-00001-u2.parquet", 25),
+            (f"{d}/part-00002-u3.parquet", 25),
+            (f"{d}/part-00003-u4.parquet", 25),
+        ]
+
+    monkeypatch.setattr(footers, "parquet_file_rows", fake_listing)
+    ck = StageCheckpointer(spark, str(tmp_path))
+    df = spark.range(0, 100, 1, 4).withColumnRenamed("id", "v")
+    ck.run_stage("s", lambda: df)
+    parts = {p["partition"]: p["rows"] for p in ck.lineage()["stages"]["s"]["partitions"]}
+    assert parts == {0: 25, 1: 25, 2: 25, 3: 25, 4: 3}

@@ -269,8 +269,8 @@ def test_fused_extractor_re2_and_pandas_paths_identical(spark, monkeypatch):
     from p5_rdf_rdb2rdf_spark.pipeline.kgpipeline import template_patterns
 
     pats = [p for p, _ in template_patterns()]
-    assert mentions._re2_compatible(pats)
-    assert not mentions._re2_compatible([r"^(?P<a>\S+) (?P=a) (?P<b>\S+)$"])
+    assert mentions._re2_compatible(pats) is not None
+    assert mentions._re2_compatible([r"^(?P<a>\S+) (?P=a) (?P<b>\S+)$"]) is None
 
     texts = [
         "entity001 works at entity002 .",
@@ -279,11 +279,13 @@ def test_fused_extractor_re2_and_pandas_paths_identical(spark, monkeypatch):
         "alias000 wrote entity099 .",
         "entity003 knows entity004 .",
         "entity005 works at two tokens here .",  # b must be \S+ -> no match
+        "entity006 works at entity007 .\n",  # trailing \n: Python $ matches
+        "entity008 x works at entity009 .",  # NBSP: Python \S excludes
     ]
     df = spark.createDataFrame([(t,) for t in texts], "text string")
 
     fast = df.select(mentions.fused_extractor(pats)("text").alias("r")).collect()
-    monkeypatch.setattr(mentions, "_re2_compatible", lambda _p: False)
+    monkeypatch.setattr(mentions, "_re2_compatible", lambda _p: None)
     slow = df.select(mentions.fused_extractor(pats)("text").alias("r")).collect()
     assert fast == slow
     # sanity: the matching rows actually extracted
@@ -291,3 +293,33 @@ def test_fused_extractor_re2_and_pandas_paths_identical(spark, monkeypatch):
     assert fast[1].r.a0 is None and fast[1].r.a1 is None and fast[1].r.a2 is None
     assert fast[3].r.a1 == "alias000" and fast[4].r.b2 == "entity004"
     assert fast[5].r.a0 is None  # greedy \S+ must not span the extra tokens
+    # the two verified RE2-vs-Python divergences, pinned to Python semantics
+    assert fast[6].r.a0 == "entity006" and fast[6].r.b0 == "entity007"
+    assert fast[7].r.a0 is None  # NBSP is whitespace to Python's \S
+
+
+def test_re2_rewrite_matches_python_whitespace_exhaustively():
+    """_PY_WS must equal Python re's \\s over the whole BMP: the rewritten
+    class [^_PY_WS] is then exactly Python's \\S under RE2."""
+    import re as _re
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from p5_rdf_rdb2rdf_spark.pipeline.mentions import _re2_equivalent
+
+    pat = _re2_equivalent(r"^(?P<a>\S+) (?P<b>\s*)$")
+    assert pat is not None
+    py = _re.compile(r"^\s$")
+    chars = [chr(c) for c in range(0x10000) if chr(c) not in "\ud800"]
+    ws_py = {c for c in chars if 0xD800 > ord(c) or ord(c) > 0xDFFF}
+    ws_py = {c for c in ws_py if py.match(c)}
+    arr = pa.array(sorted(ws_py) + ["a", "entity", "­"])
+    m = pc.extract_regex(arr, _re2_equivalent(r"^(?P<a>\s)$"))
+    got_ws = {arr[i].as_py() for i in range(len(arr)) if m.is_valid()[i].as_py()}
+    assert got_ws == ws_py
+    # divergence guards: non-trailing $, \w, \d, classes -> fallback (None)
+    assert _re2_equivalent(r"a$|b") is None
+    assert _re2_equivalent(r"(?P<a>\w+)") is None
+    assert _re2_equivalent(r"(?P<a>[0-9]+)") is None
+    assert _re2_equivalent(r"(?i)(?P<a>x)") is None

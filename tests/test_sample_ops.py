@@ -53,6 +53,8 @@ def test_deterministic_sample_and_validation(spark):
     assert s.columns == ["doc_id"]
     exact = deterministic_sample(df, "doc_id", rate_pct=10, hashed=False)
     assert exact.count() == 1000  # id % 100 < 10: exactly 10%
+    assert deterministic_sample(df, "doc_id", rate_pct=0).count() == 0
+    assert deterministic_sample(df, "doc_id", rate_pct=100).count() == 10_000
 
     with pytest.raises(ValueError):
         modulo_split(df, "doc_id", {"a": (0, 50), "b": (40, 60)})  # overlap

@@ -176,15 +176,18 @@ def test_vocabulary_matches_python_oracle(spark):
     assert got5 == {t for t in tf if tf[t] >= 3} == {"a", "b"}
 
 
-def test_vocabulary_plan_is_single_exchange_no_python(spark):
-    """The vocab aggregate must be ONE token-keyed exchange (per-doc pairs
-    built array-side; map-side partial agg) with no Python eval."""
+def test_vocabulary_plan_linear_two_level_no_python(spark):
+    """The vocab aggregate must be the linear two-level shape — exactly two
+    exchanges ((doc, token) then token, both with map-side partial agg) and
+    no Python eval; no per-doc array blowup (review r5: the single-exchange
+    array-side build was O(distinct x total) per document)."""
     from p5_rdf_rdb2rdf_spark.ops.text import vocabulary
 
     df = spark.createDataFrame([(1, "a b a")], "doc_id int, text string")
     plan = vocabulary(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
-    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Exchange") == 2, plan
+    assert "transform(" not in plan  # no array-side quadratic build
 
 
 def test_contamination_flags(spark):
