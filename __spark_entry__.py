@@ -692,6 +692,77 @@ def sample_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split")
 
 
+def _derived_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dense-ish graph derived from doc_ids by pure integer
+    arithmetic — both engines rebuild the identical edge set, so graph
+    statistics get exact oracles: src = doc_id % 50,
+    dst = (doc_id*doc_id + 1) % 50, one edge per doc."""
+    docs = _load(spark, sf_dir, ["documents"])["documents"]
+    return docs.select(
+        F.pmod(F.col("doc_id"), F.lit(50)).alias("src"),
+        F.pmod(F.col("doc_id") * F.col("doc_id") + 1, F.lit(50)).alias("dst"),
+    )
+
+
+_EDGES_SQL = """
+      SELECT doc_id % 50 AS src, (doc_id * doc_id + 1) % 50 AS dst
+      FROM documents
+"""
+
+
+@_q(
+    "graph_degrees",
+    f"""
+    WITH e AS ({_EDGES_SQL}),
+    o AS (SELECT src AS node, COUNT(*) AS out_degree FROM e GROUP BY 1),
+    i AS (SELECT dst AS node, COUNT(*) AS in_degree FROM e GROUP BY 1)
+    SELECT COALESCE(o.node, i.node) AS node,
+           COALESCE(out_degree, 0) AS out_degree,
+           COALESCE(in_degree, 0) AS in_degree,
+           COALESCE(out_degree, 0) + COALESCE(in_degree, 0) AS degree
+    FROM o FULL OUTER JOIN i ON o.node = i.node
+    """,
+)
+def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node in/out/total degree over the derived edge multigraph —
+    exact integer counts, full-outer merged so one-sided nodes report 0."""
+    from p5_rdf_rdb2rdf_spark.ops.graph import degrees
+
+    return degrees(_derived_edges(spark, sf_dir))
+
+
+@_q(
+    "graph_triangles",
+    f"""
+    WITH e0 AS ({_EDGES_SQL}),
+    e AS (
+      SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+      FROM e0 WHERE src != dst
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM e w1 JOIN e w2 ON w1.v = w2.u JOIN e c ON c.u = w1.u AND c.v = w2.v
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global triangle count over the canonicalized undirected simple
+    graph (u<v, distinct, no self-loops): the Spark wedge-join shape must
+    equal DuckDB's 3-way self-join to the row."""
+    from p5_rdf_rdb2rdf_spark.ops.graph import triangle_count
+
+    return triangle_count(_derived_edges(spark, sf_dir))
+
+
+@_q("graph_pagerank")  # no SQL oracle: float sums are order-dependent
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (5 iterations) over the derived graph — rows-only
+    driver check by design: cross-engine float summation is order-dependent,
+    so value-level verification lives in tests/test_graph_ops.py (exact
+    Python-twin equality at 1e-12, rank-sum and symmetry invariants)."""
+    from p5_rdf_rdb2rdf_spark.ops.graph import pagerank
+
+    return pagerank(_derived_edges(spark, sf_dir), iterations=5)
+
+
 @_q(
     "ann_threshold_search",
     """
