@@ -36,6 +36,7 @@ import json
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .ir import Mapping, PredicateObjectMap, RefObject, TermMap, TriplesMap
 from .iri import iri_safe_py
@@ -242,6 +243,7 @@ def direct_map(
     dedup: bool = True,
     only: list[str] | None = None,
     assume_key_integrity: bool = True,
+    verify_keys: bool = False,
 ) -> DataFrame:
     """Direct-map a set of tables to one triples DataFrame.
 
@@ -272,9 +274,35 @@ def direct_map(
     False`` restores the global dropDuplicates regardless of manifest
     claims. No-PK tables (deterministic row-hash blank nodes: duplicate
     rows COLLAPSE, FIXTURES.md §5) always keep the dedup shuffle — applied
-    only to their slice of the union."""
+    only to their slice of the union.
+
+    **Declared keys are TRUSTED by default** — an undeclared violation (a
+    manifest claiming an enforced PK the data breaks) silently emits
+    duplicate triples on this fast path (ADVICE r5 #3). ``verify_keys=
+    True`` is the audit mode: before compiling, every enforced-PK table
+    pays one cheap aggregate (``count(*)`` vs ``count distinct`` over the
+    key columns) and a violated key raises ``ValueError`` naming the table
+    and the duplicate-key row count, instead of producing a non-set graph.
+    Run it when ingesting manifests you did not author."""
     selected = {t: df for t, df in tables.items() if only is None or t in only}
     from .compiler import compile_mapping
+
+    if verify_keys and dedup and assume_key_integrity:
+        for t, df in selected.items():
+            cons = manifest.get(t, {})
+            pk = cons.get("pk")
+            if not pk or not cons.get("pk_enforced", True):
+                continue
+            n_rows, n_keys = df.agg(
+                F.count(F.lit(1)), F.count_distinct(*[F.col(c) for c in pk])
+            ).first()
+            if n_rows != n_keys:
+                raise ValueError(
+                    f"direct_map(verify_keys=True): table {t!r} declares "
+                    f"enforced pk {pk} but holds {n_rows - n_keys} duplicate-"
+                    f"key rows ({n_rows} rows, {n_keys} distinct keys); mark "
+                    f'it "pk_enforced": false in the manifest or fix the data'
+                )
 
     def _compile(sub: dict[str, DataFrame], dd: bool) -> DataFrame:
         ir = direct_mapping_ir({t: df.schema for t, df in sub.items()}, manifest, base)

@@ -76,9 +76,15 @@ def _re2_equivalent(pattern: str) -> str | None:
     - any OTHER ``$``, any ``\\w \\W \\d \\D \\b \\B \\Z`` (Unicode/ASCII
       divergence or unsupported), any character class, backref or inline
       flag -> None. ``^`` is safe (both anchor at start only, no re.M).
+    - any escaped backslash (``\\\\``) -> None: the str.replace rewrites
+      below cannot tell ``\\s`` (whitespace escape) from ``\\\\s`` (literal
+      backslash then ``s``) — rewriting the latter silently changes what
+      the RE2 path matches vs the pandas fallback (ADVICE r5 #1).
     """
     import re as _re
 
+    if "\\\\" in pattern:
+        return None
     if _re.search(r"\((\?[aiLmsux]|\?P=|\?<?[=!])|\\[wWdDbBZ]|\[", pattern):
         return None
     body = pattern

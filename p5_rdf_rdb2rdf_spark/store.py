@@ -91,6 +91,42 @@ class TripleStore:
     def count_pattern(self, **kw: Any) -> int:
         return self.get_statements(**kw).count()
 
+    def estimate_pattern_rows(
+        self,
+        s: str | None = None,
+        p: str | None = None,
+        o: str | None = None,
+    ) -> "int | None":
+        """Driver-side cardinality UPPER BOUND for a pattern, used only to
+        order BGP joins (never for correctness). GraphTable-backed stores
+        answer from the snapshot manifest with ZERO Spark jobs: a bound
+        predicate known to the write-time ``pred_buckets`` map estimates as
+        its bucket's ``partition_rows`` count (an over-count when buckets
+        hold several predicates, an under-count on merged chains where the
+        manifest's bucket counts are the newest link's — either way the
+        right ORDERING signal, never a correctness input); a bound
+        predicate a COMPLETE map doesn't know matches nothing (0); anything
+        else estimates as the snapshot total. Plain-DataFrame stores return
+        None (no estimate — the BGP matcher falls back to bound-count
+        ordering)."""
+        if self.gt is None:
+            return None
+        snap = self.gt.current_snapshot()
+        if snap is None:
+            return None
+        total = snap.get("total_rows")
+        if p is None:
+            return total
+        bucket = snap.get("pred_buckets", {}).get(p)
+        if bucket is None:
+            # complete map + unknown predicate => provably zero matches;
+            # incomplete map: no per-predicate knowledge, fall back to total
+            # (computing the bucket would cost a Spark job — not worth an
+            # ordering hint)
+            return 0 if snap.get("pred_map_complete") else total
+        rows = snap.get("partition_rows", {}).get(str(bucket))
+        return rows if rows is not None else total
+
     def bgp(self, patterns: "list[tuple[str, str, str]]") -> DataFrame:
         """Conjunctive basic-graph-pattern match (see :func:`match_bgp`)."""
         return match_bgp(self, patterns)
@@ -120,14 +156,26 @@ def match_bgp(store: "TripleStore | DirectMappingStore",
 
     Execution shape (the part that matters at 10^12 triples): every pattern
     is answered independently first — bound terms pruned/pushed at the scan
-    — then joined smallest-constraint-first: patterns are ordered by bound-
-    term count (3 > 2 > 1 > 0, predicate-bound preferred within a tie,
-    since a bound predicate prunes partitions), and each subsequent pattern
-    must share >=1 variable with the accumulated solution when any such
-    pattern remains — disconnected components are cross-joined LAST, never
-    in the middle of a chain. The equi-joins are plain shuffles on the
-    shared variable structs; AQE broadcasts whichever side its runtime
-    stats prove small (highly selective patterns routinely collapse to a
+    — then joined smallest-estimated-first: when the store can estimate a
+    pattern's cardinality (``estimate_pattern_rows`` — the GraphTable
+    manifest's per-bucket row counts for bound predicates, source-table
+    row counts for the virtual store; zero extra jobs) patterns order by
+    that estimate ascending, so a 1-bound pattern on a rare predicate
+    anchors the join ahead of a 2-bound pattern matching half the graph
+    (VERDICT r5 #6). Patterns without an estimate fall back to bound-term
+    count (most-bound first, predicate-bound preferred within a tie, since
+    a bound predicate prunes partitions) and sort after estimated ones.
+    Each subsequent pattern must share >=1 variable with the accumulated
+    solution when any such pattern remains — disconnected components are
+    cross-joined LAST, never in the middle of a chain. Fully-bound
+    (zero-variable, ASK) patterns never participate in the ordering at
+    all: each compiles to a 1-row existence probe cross-joined AFTER the
+    variable-bearing chain as a terminal semi-filter (previously an ASK's
+    bound count of 3 sorted it FIRST, seeding the join with a no-variable
+    frame and forcing every real pattern through the disconnected-fallback
+    path — ADVICE r5 #4). The equi-joins are plain shuffles on the shared
+    variable structs; AQE broadcasts whichever side its runtime stats
+    prove small (highly selective patterns routinely collapse to a
     broadcast probe).
 
     Reference parity: RDF::Trine::Model (the reference's sink) answers
@@ -147,10 +195,36 @@ def match_bgp(store: "TripleStore | DirectMappingStore",
         s, p, o = pat
         return sum(0 if _is_var(t) else 1 for t in (s, p, o))
 
-    # most-bound first; prefer bound-predicate patterns within a tie
+    # zero-variable (ASK) patterns are terminal semi-filters, never part of
+    # the selectivity ordering (ADVICE r5 #4)
+    var_idx = [
+        i for i in range(len(patterns)) if any(_is_var(t) for t in patterns[i])
+    ]
+    ask_idx = [i for i in range(len(patterns)) if i not in set(var_idx)]
+
+    est_fn = getattr(store, "estimate_pattern_rows", None)
+
+    def estimate(i: int) -> "int | None":
+        if est_fn is None:
+            return None
+        s, p, o = patterns[i]
+        return est_fn(
+            s=None if _is_var(s) else s,
+            p=None if _is_var(p) else p,
+            o=None if _is_var(o) else o,
+        )
+
+    ests = {i: estimate(i) for i in var_idx}
+    # estimated cardinality ascending; unestimated patterns sort after all
+    # estimated ones, most-bound first, bound-predicate preferred in a tie
     order = sorted(
-        range(len(patterns)),
-        key=lambda i: (-bound_count(patterns[i]), _is_var(patterns[i][1]), i),
+        var_idx,
+        key=lambda i: (
+            ests[i] if ests[i] is not None else float("inf"),
+            -bound_count(patterns[i]),
+            _is_var(patterns[i][1]),
+            i,
+        ),
     )
 
     def pattern_frame(pat, idx: int) -> tuple[DataFrame, set[str]]:
@@ -200,28 +274,36 @@ def match_bgp(store: "TripleStore | DirectMappingStore",
             return df.limit(1).select(F.lit(1).alias(f"__ask_{idx}")), set()
         return df.select([expr.alias(n) for n, expr in cols.items()]), set(cols)
 
-    remaining = list(order)
-    first = remaining.pop(0)
-    acc, acc_vars = pattern_frame(patterns[first], first)
-    while remaining:
-        # next pattern sharing a variable; cross-join only when none does
-        nxt = next((i for i in remaining if set(
-            t[1:] for t in patterns[i] if _is_var(t)) & acc_vars), remaining[0])
-        remaining.remove(nxt)
-        right, right_vars = pattern_frame(patterns[nxt], nxt)
-        shared = sorted(acc_vars & right_vars)
-        if shared:
-            rr = right
-            for v in shared:
-                rr = rr.withColumnRenamed(v, f"__r_{v}")
-            cond = None
-            for v in shared:
-                eq = F.col(v).eqNullSafe(F.col(f"__r_{v}"))
-                cond = eq if cond is None else (cond & eq)
-            acc = acc.join(rr, cond, "inner").drop(*[f"__r_{v}" for v in shared])
-        else:
-            acc = acc.crossJoin(right)
-        acc_vars |= right_vars
+    acc = None
+    acc_vars: set[str] = set()
+    if order:
+        remaining = list(order)
+        first = remaining.pop(0)
+        acc, acc_vars = pattern_frame(patterns[first], first)
+        while remaining:
+            # next pattern sharing a variable; cross-join only when none does
+            nxt = next((i for i in remaining if set(
+                t[1:] for t in patterns[i] if _is_var(t)) & acc_vars), remaining[0])
+            remaining.remove(nxt)
+            right, right_vars = pattern_frame(patterns[nxt], nxt)
+            shared = sorted(acc_vars & right_vars)
+            if shared:
+                rr = right
+                for v in shared:
+                    rr = rr.withColumnRenamed(v, f"__r_{v}")
+                cond = None
+                for v in shared:
+                    eq = F.col(v).eqNullSafe(F.col(f"__r_{v}"))
+                    cond = eq if cond is None else (cond & eq)
+                acc = acc.join(rr, cond, "inner").drop(*[f"__r_{v}" for v in shared])
+            else:
+                acc = acc.crossJoin(right)
+            acc_vars |= right_vars
+    # terminal ASK semi-filters: 1-or-0-row frames, each cross-join either
+    # passes the accumulated solutions through or empties them
+    for i in ask_idx:
+        ask_df, _ = pattern_frame(patterns[i], i)
+        acc = ask_df if acc is None else acc.crossJoin(ask_df)
     drop = [c for c in acc.columns if c.startswith("__ask_")]
     return acc.drop(*drop) if drop else acc
 
@@ -257,11 +339,15 @@ class DirectMappingStore:
         tables: dict[str, DataFrame],
         manifest: dict[str, Any],
         base: str = "http://example.com/base/",
+        table_rows: dict[str, int] | None = None,
     ):
         self.spark = spark
         self.tables = tables
         self.manifest = manifest
         self.base = base
+        # optional per-table row counts (parquet footer totals / catalog
+        # stats) powering estimate_pattern_rows; ordering hints only
+        self.table_rows = table_rows or {}
         self._ir = direct_mapping_ir(
             {t: df.schema for t, df in tables.items()}, manifest, base
         )
@@ -502,6 +588,44 @@ class DirectMappingStore:
             schema="s_kind string, s_value string, p_value string, o_kind string, "
             "o_value string, o_datatype string, o_lang string, g_value string",
         )
+
+    def estimate_pattern_rows(
+        self,
+        s: str | None = None,
+        p: str | None = None,
+        o: str | None = None,
+    ) -> "int | None":
+        """Driver-side cardinality upper bound for BGP join ordering (no
+        Spark jobs). Decoding mirrors ``get_statements``: a bound subject
+        pins ONE row of one table (≤ columns+fks+1 triples regardless of
+        table size — the best anchor); a bound predicate scans one column
+        of its table (≤ that table's row count, from the caller-supplied
+        ``table_rows`` footer/catalog stats); otherwise the whole mapping
+        (sum of table rows). Returns None when no ``table_rows`` were
+        provided and the pattern pins nothing (no basis for an estimate)."""
+        if s is not None:
+            dec_s = self._decode_subject(s)
+            if dec_s is None:
+                return 0
+            width = (
+                len(self.tables[dec_s.table].schema.fields) + 2
+                if dec_s.table in self.tables
+                else None
+            )
+            if p is not None or o is not None:
+                return 1
+            return width
+        if p is not None and p != RDF_TYPE:
+            dec_p = self._decode_predicate(p)
+            if dec_p is None:
+                return 0
+            return self.table_rows.get(dec_p.table)
+        if not self.table_rows:
+            return None
+        total = sum(
+            self.table_rows.get(t, 0) for t in self.tables if t in self.table_rows
+        )
+        return total if len(self.table_rows) >= len(self.tables) else None
 
     def bgp(self, patterns: "list[tuple[str, str, str]]") -> DataFrame:
         """Conjunctive BGP over the VIRTUAL store: each pattern compiles to

@@ -128,10 +128,16 @@ def _min_ts_row(pdf_iter, ts_col: str):
     one micro-batch would otherwise materialize the entire group in
     executor memory just to take ``head(1)`` (VERDICT r4 What's-wrong #3).
     Ties keep the earliest batch's row (strict ``<`` on later candidates),
-    matching the former stable-sort-then-head behavior. Returns a 1-row
-    pandas frame, or None if the group carried no rows."""
+    matching the former stable-sort-then-head behavior. Null-``ts_col``
+    rows can never be the first-seen representative (no orderable event
+    time), so they are dropped before ``idxmin`` — which would otherwise
+    raise ValueError on an all-null chunk (ADVICE r5 #2); a group whose
+    rows ALL carry null timestamps emits nothing and stays unseen, so a
+    later row with a real event time still gets emitted. Returns a 1-row
+    pandas frame, or None if the group carried no timestamped rows."""
     best = None
     for pdf in pdf_iter:
+        pdf = pdf[pdf[ts_col].notna()]
         if not len(pdf):
             continue
         row = pdf.loc[[pdf[ts_col].idxmin()]]

@@ -217,3 +217,23 @@ def test_dm_pk_enforced_false_restores_set_semantics(spark):
     # i.e. pk_enforced=False is what preserves correctness here
     trusted = direct_map(spark, {"t": df}, mf_trusting, base=BASE).collect()
     assert len([r for r in trusted if r[2].endswith("#b") and r[4] == "same"]) == 2
+
+
+def test_direct_map_verify_keys_audit(spark):
+    """ADVICE r5 #3: declared keys are trusted by default — verify_keys=True
+    is the audit mode that pays one aggregate per enforced-PK table and
+    raises (instead of silently emitting duplicate triples) when a declared
+    key does not actually hold."""
+    dup = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "id int, v string")
+    manifest = {"t": {"pk": ["id"], "fks": []}}
+    with pytest.raises(ValueError, match="duplicate-key"):
+        direct_map(spark, {"t": dup}, manifest, verify_keys=True)
+    # clean data passes the audit and emits the same graph as the default
+    ok = spark.createDataFrame([(1, "a"), (2, "c")], "id int, v string")
+    audited = direct_map(spark, {"t": ok}, manifest, verify_keys=True)
+    assert audited.count() == direct_map(spark, {"t": ok}, manifest).count()
+    # tables already flagged pk_enforced:false dedup anyway -> no audit, no
+    # raise, set semantics preserved via the compact-dedup path
+    manifest2 = {"t": {"pk": ["id"], "pk_enforced": False, "fks": []}}
+    out = direct_map(spark, {"t": dup}, manifest2, verify_keys=True)
+    assert out.count() == out.distinct().count()

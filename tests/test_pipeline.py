@@ -323,3 +323,26 @@ def test_re2_rewrite_matches_python_whitespace_exhaustively():
     assert _re2_equivalent(r"(?P<a>\w+)") is None
     assert _re2_equivalent(r"(?P<a>[0-9]+)") is None
     assert _re2_equivalent(r"(?i)(?P<a>x)") is None
+
+
+def test_re2_rewrite_rejects_escaped_backslash():
+    """ADVICE r5 #1: ``\\\\s`` in a pattern is a LITERAL backslash followed
+    by ``s`` — the str.replace rewrite would turn its ``\\s`` tail into the
+    whitespace class and silently change what the RE2 fast path matches.
+    Any pattern carrying an escaped backslash must route to the pandas
+    fallback wholesale."""
+    import re as _re
+
+    from p5_rdf_rdb2rdf_spark.pipeline.mentions import (
+        _re2_compatible,
+        _re2_equivalent,
+    )
+
+    pat = r"^(?P<a>x\\sy) (?P<b>z)$"  # \\s: literal backslash then 's'
+    assert _re2_equivalent(pat) is None
+    assert _re2_compatible([pat]) is None
+    # the Python semantics the fallback preserves: matches backslash+s
+    assert _re.match(pat, "x\\sy z")
+    assert not _re.match(pat, "x y z")
+    # plain \S/\s rewrites still take the RE2 path
+    assert _re2_equivalent(r"^(?P<a>\S+) (?P<b>\s*)$") is not None

@@ -327,3 +327,104 @@ def test_bgp_virtual_store_matches_materialized(spark, tables):
     got = sorted((r.b.value, r.a.value, r.f.value, r.t.value)
                  for r in virt.bgp(q).collect())
     assert got == want and len(got) == 3
+
+
+class _ProbeStore:
+    """Records the ORDER in which match_bgp schedules patterns (each
+    pattern's frame is built via exactly one get_statements call, in join
+    order — the first call is the seed/anchor). Delegates everything."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.calls: list[tuple] = []
+
+    def get_statements(self, s=None, p=None, o=None, **kw):
+        self.calls.append((s, p, o))
+        return self.inner.get_statements(s=s, p=p, o=o, **kw)
+
+    def estimate_pattern_rows(self, **kw):
+        return self.inner.estimate_pattern_rows(**kw)
+
+
+def test_bgp_cardinality_ordering_anchors_smallest(spark, tmp_path):
+    """VERDICT r5 #6: on a GraphTable-backed store the BGP matcher orders
+    patterns by the manifest's per-bucket row counts — a 1-bound pattern on
+    a RARE predicate must anchor the join ahead of a 2-bound pattern on a
+    predicate matching most of the graph (bound-count ordering scheduled
+    the big one first). Estimates come from the manifest with zero jobs."""
+    from p5_rdf_rdb2rdf_spark.io.graph_table import GraphTable
+    from p5_rdf_rdb2rdf_spark.store import match_bgp
+
+    gt = GraphTable(
+        spark, str(tmp_path / "gt_card"), n_buckets=16, closed_vocabulary=True
+    )
+    common = "http://p/common"
+    # pick a rare-predicate name hashing to a DIFFERENT bucket (xxhash64 is
+    # deterministic; the loop just documents the requirement)
+    cb = gt._bucket_via_job(common)
+    rare = next(
+        c for c in (f"http://p/rare{i}" for i in range(20))
+        if gt._bucket_via_job(c) != cb
+    )
+    schema = (
+        "s_kind string, s_value string, p_value string, o_kind string, "
+        "o_value string, o_datatype string, o_lang string, g_value string"
+    )
+    rows = [
+        ("iri", f"http://s/{i}", common, "literal", f"v{i % 7}", None, None, None)
+        for i in range(500)
+    ] + [
+        ("iri", f"http://s/{i}", rare, "iri", f"http://t/{i}", None, None, None)
+        for i in range(3)
+    ]
+    gt.write(spark.createDataFrame(rows, schema))
+    store = TripleStore(gt)
+
+    est_rare = store.estimate_pattern_rows(p=rare)
+    est_common = store.estimate_pattern_rows(p=common)
+    assert est_rare is not None and est_common is not None
+    assert est_rare < est_common
+    # complete map + unknown predicate => provably 0; unbound p => total
+    assert store.estimate_pattern_rows(p="http://p/nowhere") == 0
+    assert store.estimate_pattern_rows() == 503
+    # DataFrame-backed stores have no estimate (bound-count fallback)
+    assert TripleStore(gt.read()).estimate_pattern_rows(p=rare) is None
+
+    probe = _ProbeStore(store)
+    q = [
+        ("?x", common, "v3"),   # 2-bound, huge bucket: old ordering seeded it
+        ("?x", rare, "?z"),     # 1-bound, 3-row bucket: must anchor now
+    ]
+    out = match_bgp(probe, q)
+    assert probe.calls[0] == (None, rare, None)
+    assert probe.calls[1] == (None, common, "v3")
+    # and the answers are right: s/0..2 carry rare; of those, v3 needs i%7==3
+    got = sorted((r.x.value, r.z.value) for r in out.collect())
+    want = sorted(
+        (f"http://s/{i}", f"http://t/{i}") for i in range(3) if i % 7 == 3
+    )
+    assert got == want
+
+
+def test_bgp_ask_patterns_are_terminal(spark, tables):
+    """ADVICE r5 #4: fully-bound (ASK) patterns are excluded from the
+    selectivity ordering and applied AFTER the variable-bearing chain as
+    terminal cross-joined semi-filters — they must never seed the join."""
+    from p5_rdf_rdb2rdf_spark.store import match_bgp
+
+    store = TripleStore(_full_graph(spark, tables))
+    probe = _ProbeStore(store)
+    ask = (f"{BASE}books/book_id=1", RDF_TYPE, f"{BASE}books")
+    q = [
+        ask,  # 3-bound: the OLD ordering scheduled this first
+        ("?b", f"{BASE}books#ref-author_id", "?a"),
+        ("?a", f"{BASE}authors#surname", "?n"),
+    ]
+    out = match_bgp(probe, q)
+    assert probe.calls[-1] == ask  # terminal, not the seed
+    assert all(c != ask for c in probe.calls[:-1])
+    assert out.count() == 3 and sorted(out.columns) == ["a", "b", "n"]
+    # a BGP of only ASK patterns still answers (1 row iff all hold)
+    assert match_bgp(store, [ask]).count() == 1
+    missing = (f"{BASE}books/book_id=999", RDF_TYPE, f"{BASE}books")
+    assert match_bgp(store, [ask, missing]).count() == 0

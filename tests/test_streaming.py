@@ -281,3 +281,27 @@ def test_first_seen_min_row_kernel_bounded_memory():
     assert len(best) == 1
     assert best["payload"].iloc[0] == "min-row"  # global min, tie kept earliest
     assert _min_ts_row(iter([chunk([])]), "event_ts") is None
+
+
+def test_first_seen_min_row_kernel_all_null_timestamps():
+    """ADVICE r5 #2: an all-null-``ts`` chunk must not raise (idxmin on
+    all-NaT raises ValueError) — null-timestamp rows can never be the
+    first-seen representative, and a group that is ALL null emits nothing
+    (returns None) so a later timestamped row is still emitted."""
+    import pandas as pd
+
+    from p5_rdf_rdb2rdf_spark.streaming.incremental import _min_ts_row
+
+    allnull = pd.DataFrame(
+        {"k": [1, 2], "event_ts": pd.to_datetime([None, None])}
+    )
+    assert _min_ts_row(iter([allnull]), "event_ts") is None
+    assert _min_ts_row(iter([allnull, allnull]), "event_ts") is None
+    mixed = pd.DataFrame(
+        {
+            "k": [3, 4, 5],
+            "event_ts": pd.to_datetime([None, "2026-01-02", "2026-01-01"]),
+        }
+    )
+    best = _min_ts_row(iter([allnull, mixed]), "event_ts")
+    assert best is not None and best["k"].iloc[0] == 5
