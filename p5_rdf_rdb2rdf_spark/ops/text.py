@@ -276,3 +276,66 @@ def contamination_flags(
         F.size(hits).alias("n_hits"),
         F.array_sort(hits).alias("hit_phrases"),
     )
+
+
+def contamination_semijoin(
+    df: DataFrame,
+    phrases: DataFrame,
+    shingle_k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    phrase_col: str = "phrase",
+) -> DataFrame:
+    """Open-set benchmark decontamination: flag documents sharing any word
+    ``shingle_k``-gram with a phrase CORPUS — a DataFrame of arbitrary
+    size (full eval sets, 10^4..10^9 phrases), where
+    :func:`contamination_flags`' literal-array scan stops making sense
+    past a few hundred phrases (VERDICT r5 next-round #7).
+
+    -> (id, contaminated, n_hits) for EVERY input document: n_hits is the
+    number of DISTINCT document shingles that occur anywhere in the phrase
+    corpus's shingle set (phrases shorter than ``shingle_k`` tokens
+    contribute their whole token sequence as one shingle, matching
+    :func:`shingle_array`); contaminated = n_hits > 0. Exact set
+    intersection — any SQL engine reproduces it from the same
+    tokenization.
+
+    Scale shape (the :func:`.dedup.exact_dedup` key discipline): both
+    sides explode to distinct shingles keyed by a 128-bit digest pair
+    (xxhash64 seeds 0/1), so the join shuffles 16-byte keys — no text
+    crosses an exchange; the phrase side dedups to one row per distinct
+    shingle corpus-wide, and the hit join is a LEFT SEMI equi-join AQE
+    broadcasts whenever the phrase shingle set is small enough. Per-doc
+    counts partial-aggregate map-side. Work is O(total tokens) on each
+    side."""
+    def _digests(src: DataFrame, col: str, keep: "list[str]") -> DataFrame:
+        sh = F.explode(
+            shingle_array(F.coalesce(F.col(col), F.lit("")), k=shingle_k)
+        ).alias("__s")
+        return (
+            src.select(*keep, sh)
+            .where(F.col("__s") != "")
+            .select(
+                *keep,
+                F.xxhash64("__s", F.lit(0)).alias("__h0"),
+                F.xxhash64("__s", F.lit(1)).alias("__h1"),
+            )
+            .distinct()
+        )
+
+    ph = _digests(phrases, phrase_col, [])
+    doc_sh = _digests(df, text_col, [id_col])
+    hits = (
+        doc_sh.join(ph, ["__h0", "__h1"], "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_hits").isNotNull().alias("contaminated"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        )
+    )

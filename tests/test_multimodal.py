@@ -537,3 +537,61 @@ def test_resize_images_dataframe_and_16bit(spark):
     assert np.frombuffer(a.pixels, dtype=">u2")[0] == 300  # src[0][0]
     assert a.px_sum == 300
     assert got["b"].format == "unknown" and got["b"].pixels is None
+
+
+def test_pixel_histogram_kernel_channels_and_16bit():
+    """Per-channel histograms (VERDICT r5 #8): bin = v*n_bins//domain with
+    domain 256 / 65536 by sample width; channels bin independently; only
+    non-zero bins are emitted; undecodable payloads -> None."""
+    import numpy as np
+
+    from p5_rdf_rdb2rdf_spark.ops.multimodal import _pixel_hist_kernel
+
+    # BMP rows at 10+60r (w=3, h=4): every channel identical, bins 0/4/8/11
+    rows = _pixel_hist_kernel(_bmp24(3, 4, lambda r: 10 + 60 * r), 16)
+    want_bins = {(10 + 60 * r) * 16 // 256 for r in range(4)}
+    assert want_bins == {0, 4, 8, 11}
+    for c in range(3):
+        got = {(b, n) for fmt, ch, b, n in rows if ch == c}
+        assert got == {(b, 3) for b in want_bins}  # w samples per row/bin
+    assert all(fmt == "bmp" for fmt, *_ in rows)
+
+    # PPM with DISTINCT per-channel values: channels must not mix
+    ppm = b"P6 1 2 255 " + bytes([0, 100, 200, 10, 110, 210])
+    rows = _pixel_hist_kernel(ppm, 16)
+    by_ch = {}
+    for fmt, c, b, n in rows:
+        by_ch.setdefault(c, {})[b] = n
+    assert by_ch == {0: {0: 2}, 1: {6: 2}, 2: {12: 1, 13: 1}}
+
+    # 16-bit PGM: domain 65536
+    vals = np.array([300, 700, 65535, 0], dtype=">u2")
+    rows = _pixel_hist_kernel(b"P5\n2 2\n65535\n" + vals.tobytes(), 16)
+    assert {(b, n) for _f, _c, b, n in rows} == {(0, 3), (15, 1)}
+
+    assert _pixel_hist_kernel(b"not an image", 16) is None
+
+
+def test_decode_pixel_histograms_dataframe(spark):
+    """The mapInPandas operator: long-format rows for decodable payloads,
+    one format='unknown' NULL row for garbage, counts summing to
+    width*height per channel."""
+    from p5_rdf_rdb2rdf_spark.ops.multimodal import decode_pixel_histograms
+
+    media = spark.createDataFrame(
+        [
+            ("a", "image", bytearray(_bmp24(3, 4, lambda r: 10 + 60 * r))),
+            ("b", "image", bytearray(b"P5\n2 2\n255\n" + bytes([0, 16, 32, 255]))),
+            ("c", "image", bytearray(b"garbage")),
+            ("d", "audio", bytearray(b"not even scanned")),
+        ],
+        "media_ref string, kind string, payload binary",
+    )
+    out = decode_pixel_histograms(media, n_bins=16).collect()
+    assert {r.media_ref for r in out} == {"a", "b", "c"}  # kind filter
+    a_rows = [r for r in out if r.media_ref == "a"]
+    assert sum(r.n for r in a_rows) == 3 * 4 * 3  # w*h per channel
+    b_bins = {(r.bin, r.n) for r in out if r.media_ref == "b"}
+    assert b_bins == {(0, 1), (1, 1), (2, 1), (15, 1)}
+    c_rows = [r for r in out if r.media_ref == "c"]
+    assert len(c_rows) == 1 and c_rows[0].format == "unknown" and c_rows[0].n is None

@@ -216,3 +216,40 @@ def test_contamination_flags(spark):
         contamination_flags(df, ["x"])._jdf.queryExecution().executedPlan().toString()
     )
     assert "Python" not in plan and "Exchange" not in plan and "Join" not in plan
+
+
+def test_contamination_semijoin_open_set(spark):
+    """Open-set decontamination (VERDICT r5 #7): shingle intersection
+    semantics — repeated matching shingles count once, short docs/phrases
+    fall back to whole-text shingles, null text never hits — and the plan
+    is a JOIN against the phrase frame, not a literal-array scan."""
+    from p5_rdf_rdb2rdf_spark.ops.text import contamination_semijoin
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),          # shingle [a..h] hits
+            (2, "z z z z"),                       # <8 tokens, no match
+            (3, None),                            # null text: no hits
+            (4, "a b c d e f g h"),               # exact 8 tokens, hits
+            (5, "a b c d e f g h a b c d e f g h"),  # dup shingle: 1 hit
+        ],
+        "doc_id long, text string",
+    )
+    phrases = spark.createDataFrame(
+        [("a b c d e f g h",), ("nope nope",)], ["phrase"]
+    ).unionByName(
+        spark.range(2000).select(
+            F.concat(F.lit("abs-"), F.col("id").cast("string")).alias("phrase")
+        )
+    )
+    out = contamination_semijoin(docs, phrases, shingle_k=8)
+    got = {r.doc_id: (r.contaminated, r.n_hits) for r in out.collect()}
+    assert got == {
+        1: (True, 1),
+        2: (False, 0),
+        3: (False, 0),
+        4: (True, 1),
+        5: (True, 1),
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan  # a real join, not a literal phrase scan
