@@ -1002,6 +1002,62 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ver.select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
 
 
+@_q(
+    "dedup_cluster_keep",
+    r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+        CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+             ELSE list_transform(range(1, len(t) - 3),
+                                 i -> array_to_string(t[i:i+4], ' '))
+        END AS s
+      FROM toks
+    ), d AS (SELECT doc_id, list_distinct(s) AS s FROM sh),
+    p AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+    ),
+    e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+    reach(a, b) AS (
+      SELECT a, b FROM e
+      UNION
+      SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+    ),
+    comp AS (SELECT a AS doc_id, least(min(b), a) AS cid FROM reach GROUP BY a)
+    SELECT doc.doc_id,
+           coalesce(c.cid, doc.doc_id) AS cluster_id,
+           coalesce(c.cid, doc.doc_id) = doc.doc_id AS keep
+    FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.doc_id
+    """,
+)
+def dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster canonicalization end-to-end under the oracle gate:
+    MinHash-LSH candidates -> exact Jaccard>=0.8 verify -> connected
+    components (the SAME cc kernel that canonicalizes KG entities) ->
+    min-id representative per cluster, one (cluster_id, keep) row per
+    document. The DuckDB twin brute-forces the true pair set and closes it
+    with a recursive CTE (transitive closure + min label), so a green row
+    proves candidate recall AND the clustering/keep policy exactly."""
+    from p5_rdf_rdb2rdf_spark.ops.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+        neardup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _load(spark, sf_dir, ["documents"])["documents"]
+    sigs = minhash_signatures(docs, num_hashes=64, shingle_k=5)
+    cand = minhash_lsh_pairs(sigs, bands=32, threshold=0.0, num_hashes=64)
+    pairs = ngram_jaccard_pairs(
+        docs, cand.select("id_a", "id_b"), shingle_k=5, threshold=0.8
+    )
+    return neardup_clusters(docs, pairs.select("id_a", "id_b"))
+
+
 @_q("dedup_simhash", _JACCARD_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash pigeonhole candidates (max_hamming=12 gives ample margin: the

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..pipeline.cc import connected_components
 from .text import shingle_array
 
 # ---------------------------------------------------------------------------
@@ -442,3 +443,42 @@ def embedding_neardup_pairs(
         "id_a", "id_b", F.round(cosine_expr(F.col("v_a"), F.col("v_b")), 9).alias("cosine")
     )
     return out.where(F.col("cosine") >= threshold)
+
+
+def neardup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate CLUSTER canonicalization — the keep-one-representative
+    decision a corpus dedup pass actually ships. Verified near-dup pairs
+    (:func:`minhash_lsh_pairs`/:func:`simhash_pairs` candidates passed
+    through :func:`ngram_jaccard_pairs`) are closed into connected
+    components, and every document in ``docs`` gets a row
+    (id, cluster_id, keep):
+
+    - ``cluster_id``: the MIN id in the document's near-dup component
+      (documents in no pair are their own singleton cluster);
+    - ``keep``: True iff this document IS its cluster's representative —
+      the min id, a deterministic engine-independent choice, so the kept
+      set is reproducible and oracle-checkable.
+
+    Near-duplication is not transitive; clustering its transitive closure
+    is the standard corpus-dedup POLICY (one survivor per chain), kept
+    separate from the exact pair semantics of the verify stage. Reuses
+    :func:`..pipeline.cc.connected_components` — the same min-label /
+    pointer-doubling kernel that canonicalizes KG entities, including its
+    driver union-find fast path (near-dup pair graphs are tiny relative to
+    the corpus: |pairs|, not |docs|). The docs frame contributes only its
+    id column (column-pruned narrow scan), and the component map attaches
+    with a left join AQE broadcasts whenever the pair graph is small."""
+    comps = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    ).withColumnRenamed("node", id_col)
+    out = docs.select(id_col).join(comps, id_col, "left")
+    cluster = F.coalesce(F.col("component"), F.col(id_col))
+    return out.select(
+        F.col(id_col),
+        cluster.alias("cluster_id"),
+        (cluster == F.col(id_col)).alias("keep"),
+    )

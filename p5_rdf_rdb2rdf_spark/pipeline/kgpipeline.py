@@ -25,7 +25,7 @@ from ..io.graph_table import GraphTable
 from ..terms import KIND_IRI
 from .cc import canonical_mapping, connected_components
 from .corpus import KG, TEMPLATES, entity_vocab
-from .linking import candidate_edges, entity_dictionary, link_mentions
+from .linking import candidate_edges, entity_dictionary
 from .mentions import extract_relations
 from .spans import explode_spans, span_invariant_violations
 
@@ -118,34 +118,87 @@ def run_pipeline(
         if violations:
             raise AssertionError(f"span-sequence invariant broken for {violations} docs")
 
-    relations = ckpt.run_stage(
-        "s2_relations",
-        lambda: extract_relations(spans, template_patterns()),
-        inputs=["s1_spans"],
-    )
+    def _relations() -> DataFrame:
+        """s2 output carries surfaces DICTIONARY-ENCODED to 128-bit digest
+        pairs (xxhash64 seeds 0/1, the exact_dedup key discipline), not
+        strings (VERDICT r5 next-round #5): every downstream consumer —
+        the s3 mention distinct, the stage cache/checkpoint itself, the s5
+        entity-attach probes — keys on 16-byte pairs, so no surface text
+        crosses an exchange or sits in the pipeline's largest cached frame
+        after extraction. The surface STRINGS needed for scoring and
+        canonicalization come from the broadcast dictionary side (s3), so
+        they only ever exist at vocabulary scale, never corpus scale. A
+        pair collision (two surfaces agreeing on BOTH independent xxhash64
+        families) has probability ~n^2/2^129 — vanishing at any physical
+        corpus size, the same argument exact_dedup already rests on."""
+        rel = extract_relations(spans, template_patterns())
+        return rel.select(
+            "doc_id",
+            "offset",
+            "pred",
+            F.xxhash64("subj_surface", F.lit(0)).alias("subj_h0"),
+            F.xxhash64("subj_surface", F.lit(1)).alias("subj_h1"),
+            F.xxhash64("obj_surface", F.lit(0)).alias("obj_h0"),
+            F.xxhash64("obj_surface", F.lit(1)).alias("obj_h1"),
+        )
+
+    relations = ckpt.run_stage("s2_relations", _relations, inputs=["s1_spans"])
 
     def _links() -> DataFrame:
         # ONE scan of the (cached, 2x|relations|-row) frame: explode the two
-        # surface columns in place of a union of two full projections — the
+        # digest pairs in place of a union of two full projections — the
         # union shape read the cache twice and fed the same distinct
-        # (measured ~25% of s3 wall at 4M docs)
+        # (measured ~25% of s3 wall at 4M docs). The distinct exchange
+        # carries 16-byte pairs; the broadcast dictionary (surface strings
+        # hashed the same way) restores the string for scoring.
         mentions = relations.select(
-            F.explode(F.array("subj_surface", "obj_surface")).alias("surface")
-        ).distinct()
-        return link_mentions(mentions, dictionary).select(
-            "surface", "entity_id", "canonical", "score"
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("subj_h0").alias("h0"), F.col("subj_h1").alias("h1")
+                    ),
+                    F.struct(
+                        F.col("obj_h0").alias("h0"), F.col("obj_h1").alias("h1")
+                    ),
+                )
+            ).alias("m")
+        ).select("m.h0", "m.h1").distinct()
+        dict_h = dictionary.select(
+            F.xxhash64("surface", F.lit(0)).alias("h0"),
+            F.xxhash64("surface", F.lit(1)).alias("h1"),
+            "surface",
+            "entity_id",
+            "canonical",
+        )
+        from .linking import link_score
+
+        out = mentions.join(F.broadcast(dict_h), ["h0", "h1"], "inner")
+        out = out.withColumn(
+            "score", link_score(F.col("surface"), F.col("canonical"))
+        )
+        return out.where(F.col("score") >= 0.5).select(
+            "h0", "h1", "surface", "entity_id", "canonical", "score"
         )
 
     links = ckpt.run_stage("s3_links", _links, inputs=["s2_relations"])
 
     def _canon() -> DataFrame:
-        comps = connected_components(candidate_edges(links.withColumnRenamed("surface", "surface")))
+        # CC runs over vocabulary-sized string nodes exactly as before (the
+        # link graph is corpus-size-invariant); only the OUTPUT mapping is
+        # re-encoded to the digest pairs the relations carry, so s5 joins
+        # long pairs instead of strings.
+        comps = connected_components(candidate_edges(links))
         mapping = canonical_mapping(comps)
         return (
             mapping.where(F.col("node").startswith("s:"))
             .select(
                 F.expr("substring(node, 3)").alias("surface"),
                 F.col("canonical_entity").alias("entity_id"),
+            )
+            .select(
+                F.xxhash64("surface", F.lit(0)).alias("h0"),
+                F.xxhash64("surface", F.lit(1)).alias("h1"),
+                "entity_id",
             )
         )
 
@@ -160,15 +213,23 @@ def run_pipeline(
         expansion factor (~3-4x measured) versus deduplicating the full
         8-column triple rows. Fact and provenance sets dedup independently
         (they can never collide — different predicates) and the output is
-        globally distinct by construction."""
+        globally distinct by construction. Entity attachment probes the
+        broadcast canon map on the 128-bit surface digests (r6): the
+        corpus-scale relations frame never rehydrates surface strings."""
         c = F.broadcast(canon)
-        subj = c.withColumnRenamed("surface", "subj_surface").withColumnRenamed(
-            "entity_id", "subj_entity"
+        subj = c.select(
+            F.col("h0").alias("subj_h0"),
+            F.col("h1").alias("subj_h1"),
+            F.col("entity_id").alias("subj_entity"),
         )
-        obj = c.withColumnRenamed("surface", "obj_surface").withColumnRenamed(
-            "entity_id", "obj_entity"
+        obj = c.select(
+            F.col("h0").alias("obj_h0"),
+            F.col("h1").alias("obj_h1"),
+            F.col("entity_id").alias("obj_entity"),
         )
-        rel = relations.join(subj, "subj_surface", "inner").join(obj, "obj_surface", "inner")
+        rel = relations.join(subj, ["subj_h0", "subj_h1"], "inner").join(
+            obj, ["obj_h0", "obj_h1"], "inner"
+        )
         nulls = [
             F.lit(None).cast("string").alias("o_datatype"),
             F.lit(None).cast("string").alias("o_lang"),

@@ -221,3 +221,32 @@ def test_embedding_neardup(spark):
     # bucketing respected: no cross-label pair can appear
     labels = {r[0]: r[2] for r in rows}
     assert all(labels[a] == labels[b] for a, b in got)
+
+
+def test_neardup_clusters_keep_one_per_component(spark):
+    """Cluster canonicalization: transitive chains collapse to the min id,
+    singletons are their own cluster and are kept, exactly one keep=True
+    per cluster."""
+    from p5_rdf_rdb2rdf_spark.ops.dedup import neardup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (6, 7)], "id_a long, id_b long"
+    )
+    out = {
+        r.doc_id: (r.cluster_id, r.keep)
+        for r in neardup_clusters(docs, pairs).collect()
+    }
+    assert out == {
+        0: (0, True),
+        1: (1, True),
+        2: (2, True),
+        3: (1, False),
+        4: (4, True),
+        5: (1, False),
+        6: (6, True),
+        7: (6, False),
+    }
+    kept = [k for k, (_, keep) in out.items() if keep]
+    clusters = {c for c, _ in out.values()}
+    assert sorted(kept) == sorted(clusters)  # exactly one survivor each
