@@ -733,6 +733,40 @@ def text_contamination_open(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "text_pack_sequences",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+                    ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS prefix
+      FROM t
+    )
+    SELECT doc_id, n_tokens, prefix // 512 AS seq_id, prefix % 512 AS seq_offset
+    FROM c
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (LLM batch prep) under an exact oracle: documents
+    laid head-to-tail in doc_id order and cut into 512-token sequences,
+    each doc assigned where it starts (cumsum-bin policy). The Spark side
+    is the DISTRIBUTED prefix sum (range partition + per-partition totals
+    + Arrow cumsum — never a single-task global Window); the DuckDB twin
+    is the one-window-aggregate definition, so a green row proves the
+    distributed decomposition equals the sequential semantics exactly."""
+    from p5_rdf_rdb2rdf_spark.ops.text import pack_sequences
+
+    docs = _load(spark, sf_dir, ["documents"])["documents"]
+    return pack_sequences(docs, budget=512)
+
+
+@_q(
     "sample_split_assignment",
     """
     SELECT doc_id,
@@ -755,6 +789,30 @@ def sample_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return modulo_split(
         docs, "doc_id", {"train": (0, 98), "val": (98, 99), "test": (99, 100)}
     ).select("doc_id", "split")
+
+
+@_q(
+    "sample_stratified",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE doc_id % 100 <
+          CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 50 ELSE 100 END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus rebalancing under an exact MEMBERSHIP oracle:
+    keep 10% of English, 50% of German, all of everything else, decided by
+    portable modulo arithmetic (hashed=False) so DuckDB reproduces the
+    exact surviving row set. The production hashed=True variant shares
+    the code path and is pinned by structural pytest invariants (nested
+    samples, per-stratum rate bounds) like hashed_split."""
+    from p5_rdf_rdb2rdf_spark.ops.sample import stratified_sample
+
+    docs = _load(spark, sf_dir, ["documents"])["documents"]
+    return stratified_sample(
+        docs, "lang", {"en": 10, "de": 50}, default_pct=100, hashed=False
+    ).select("doc_id", "lang")
 
 
 def _derived_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -108,3 +108,46 @@ def deterministic_sample(
     kw = {"seed": seed} if hashed else {}
     out = fn(df, id_col, {"keep": (0, rate_pct)}, total=total, out_col="__s", **kw)
     return out.where(F.col("__s").isNotNull()).drop("__s")
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, int],
+    id_col: str = "doc_id",
+    default_pct: int = 0,
+    total: int = 100,
+    seed: int = 0,
+    hashed: bool = True,
+) -> DataFrame:
+    """Per-stratum deterministic downsampling — the language/source
+    rebalancing pass of corpus curation (keep 100% of rare languages, 10%
+    of English, drop unlisted sources).
+
+    ``rates`` maps a stratum value -> keep rate over ``[0, total]``;
+    strata not listed keep ``default_pct``. A row survives iff
+    ``bucket(id) < rate(stratum)``, with bucket = pmod(xxhash64(id, seed))
+    (uniform for any id distribution; engine-specific) or pmod(id) when
+    ``hashed=False`` (portable integer arithmetic — exact cross-engine
+    oracles). The bucket depends only on the id, so a row's fate is stable
+    under rate changes: raising one stratum's rate only ADDS rows — nested
+    samples, the property ablation sweeps and reproducible re-curation
+    need. NULL strata take ``default_pct``.
+
+    One pure-JVM scan: the rate lookup is a literal CASE chain over the
+    (small, driver-side) rates map — no shuffle, no Python, filter pushed
+    where the source supports it."""
+    for k, v in rates.items():
+        if not 0 <= v <= total:
+            raise ValueError(f"rate for {k!r} must be in [0, {total}]")
+    if not 0 <= default_pct <= total:
+        raise ValueError(f"default_pct must be in [0, {total}]")
+    bucket = (
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(total))
+        if hashed
+        else F.pmod(F.col(id_col).cast("long"), F.lit(total))
+    )
+    rate = F.lit(default_pct)
+    for k, v in rates.items():
+        rate = F.when(F.col(strata_col) == F.lit(k), F.lit(v)).otherwise(rate)
+    return df.where(bucket < rate)

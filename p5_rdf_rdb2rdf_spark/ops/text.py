@@ -278,6 +278,99 @@ def contamination_flags(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+    text_col: str = "text",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Sequence packing for LLM pretraining batches: documents in
+    ``id_col`` order are laid head-to-tail on one token tape and cut into
+    fixed-``budget`` sequences; each document is assigned the sequence
+    where it STARTS.
+
+    -> (id, n_tokens, seq_id, seq_offset) with
+    ``seq_id = prefix // budget`` and ``seq_offset = prefix % budget``,
+    where ``prefix`` is the EXCLUSIVE running token total in id order
+    (``token_col`` if given, else whitespace :func:`token_count` of
+    ``text_col``). This cumsum-bin policy — a straddling document belongs
+    to the sequence it starts in — is deterministic, order-based, and
+    reproducible as one window aggregate in any SQL engine;
+    start-new-sequence-on-overflow greedy packing is inherently
+    sequential and is deliberately NOT this operator. Ids must be unique
+    (the prefix is only well-defined under a total order).
+
+    Scale shape — a DISTRIBUTED PREFIX SUM, not a global Window:
+    ``SUM() OVER (ORDER BY id)`` with no PARTITION BY collapses Spark to a
+    single task at any input size. Instead the input is range-partitioned
+    and sorted by id (materialized once, so both passes see identical
+    partitions), ONE aggregate-only job ships P per-partition token totals
+    to the driver, their exclusive prefix becomes each partition's base
+    offset, and an Arrow-batched kernel adds base + within-partition
+    cumsum. Cost: one range exchange + an O(P) driver step, independent of
+    corpus size; the (sampled, run-varying) range boundaries cannot change
+    the result — the prefix is a pure function of the global id order."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    toks = (
+        F.col(token_col).cast("long")
+        if token_col
+        else token_count(F.col(text_col)).cast("long")
+    )
+    base = df.select(F.col(id_col), toks.alias("n_tokens"))
+    p = partitions or base.sparkSession.sparkContext.defaultParallelism
+    part = (
+        base.repartitionByRange(p, F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)  # both passes read the SAME partitions
+    )
+    totals = {
+        r["__pid"]: r["t"]
+        for r in part.groupBy("__pid").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    off_map, acc = {}, 0
+    for pid in sorted(totals):
+        off_map[pid] = acc
+        acc += totals[pid] or 0
+
+    id_field = base.schema[id_col]
+    schema = T.StructType(
+        [
+            id_field,
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("seq_id", T.LongType()),
+            T.StructField("seq_offset", T.LongType()),
+        ]
+    )
+
+    def run(batches):
+        running = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            off = off_map.get(int(pdf["__pid"].iloc[0]), 0)
+            n = pdf["n_tokens"].fillna(0).astype("int64")
+            prefix = off + running + n.cumsum() - n
+            running += int(n.sum())
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_tokens": n,
+                    "seq_id": prefix // budget,
+                    "seq_offset": prefix % budget,
+                }
+            )
+
+    return part.mapInPandas(run, schema=schema)
+
+
 def contamination_semijoin(
     df: DataFrame,
     phrases: DataFrame,

@@ -67,3 +67,41 @@ def test_split_ops_plan_pure_jvm_no_shuffle(spark):
     for out in (modulo_split(df, "doc_id", SPLITS), hashed_split(df, "doc_id", SPLITS)):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_stratified_sample_rates_and_nesting(spark):
+    """Per-stratum rates honored, unlisted strata take default_pct, NULL
+    strata take default, raising a rate only ADDS rows (nested samples),
+    and the modulo variant matches exact arithmetic membership."""
+    from p5_rdf_rdb2rdf_spark.ops.sample import stratified_sample
+
+    rows = [(i, ["en", "de", "fr", None][i % 4]) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    out = stratified_sample(
+        df, "lang", {"en": 10, "de": 50}, default_pct=0, hashed=False
+    )
+    got = {(r.doc_id, r.lang) for r in out.collect()}
+    want = {
+        (i, lang)
+        for i, lang in rows
+        if i % 100 < {"en": 10, "de": 50}.get(lang or "", 0)
+    }
+    assert got == want
+    assert all(lang in ("en", "de") for _, lang in got)  # default 0 drops
+
+    # default applies to unlisted AND null strata
+    out2 = stratified_sample(df, "lang", {"en": 10}, default_pct=100, hashed=False)
+    assert out2.where("lang IS NULL").count() == 100  # all null rows kept
+
+    # nested: raising en 10 -> 30 strictly grows the en sample (same ids kept)
+    lo = {r.doc_id for r in stratified_sample(
+        df, "lang", {"en": 10}, hashed=True, seed=7).collect()}
+    hi = {r.doc_id for r in stratified_sample(
+        df, "lang", {"en": 30}, hashed=True, seed=7).collect()}
+    assert lo <= hi and len(hi) > len(lo)
+
+    # rate bounds validated
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        stratified_sample(df, "lang", {"en": 101})

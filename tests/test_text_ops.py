@@ -253,3 +253,38 @@ def test_contamination_semijoin_open_set(spark):
     }
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan  # a real join, not a literal phrase scan
+
+
+def test_pack_sequences_distributed_prefix_sum(spark):
+    """Sequence packing: the distributed (range-partition + base-offset +
+    Arrow cumsum) decomposition must equal the sequential definition
+    exactly, across multiple partitions, including boundary-straddling
+    docs, empty/null texts, and a caller-supplied token column."""
+    from p5_rdf_rdb2rdf_spark.ops.text import pack_sequences
+
+    rows = [(i, "w " * ((i * 7) % 13 + 1)) for i in range(50)]
+    rows[10] = (10, "")
+    rows[11] = (11, None)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_tokens, r.seq_id, r.seq_offset)
+        for r in pack_sequences(docs, budget=16, partitions=7).collect()
+    }
+    # sequential python oracle
+    prefix = 0
+    for i in range(50):
+        t = rows[i][1]
+        n = len(t.split()) if t else 0
+        assert out[i] == (n, prefix // 16, prefix % 16), i
+        prefix += n
+    assert len(out) == 50
+
+    # explicit token column wins over text
+    d2 = spark.createDataFrame(
+        [(1, "a b c", 100), (2, "x", 10)], "doc_id long, text string, nt long"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.seq_id)
+        for r in pack_sequences(d2, budget=64, token_col="nt").collect()
+    }
+    assert got == {1: (100, 0), 2: (10, 1)}  # doc 2 starts at token 100
