@@ -733,6 +733,78 @@ def text_contamination_open(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "text_chunk_windows",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(coalesce(text, '')) = ''
+                  THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(text), '\s+') END AS tk
+      FROM documents
+    ), k AS (
+      SELECT doc_id, tk, len(tk) AS n, r.i AS chunk_id
+      FROM t, unnest(range(CAST(ceil(len(tk) / 8.0) AS BIGINT))) AS r(i)
+      WHERE len(tk) > 0
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS INT) AS chunk_id,
+           CAST(chunk_id * 8 AS BIGINT) AS start_token,
+           CAST(least(16, n - chunk_id * 8) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(tk[chunk_id * 8 + 1 : chunk_id * 8 + 16], ' ')
+             AS chunk_text
+    FROM k
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (16-token windows, stride 8 — the
+    RAG-indexing shape) under an exact oracle: window starts, lengths and
+    rebuilt chunk text are integer arithmetic + slicing both engines
+    reproduce verbatim. Pure Column plan — one scan, explode, no Python."""
+    from p5_rdf_rdb2rdf_spark.ops.text import chunk_documents
+
+    docs = _load(spark, sf_dir, ["documents"])["documents"]
+    return chunk_documents(docs, chunk_tokens=16, stride=8)
+
+
+@_q(
+    "events_sessionize",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                       > CAST(28800000000 AS BIGINT) THEN 1 ELSE 0 END AS ns
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), x AS (
+      SELECT user_id, ts,
+             CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS session_idx
+      FROM s
+    )
+    SELECT user_id, session_idx,
+           count(*) AS n_events,
+           min(ts) AS start_ts,
+           max(ts) AS end_ts,
+           (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0
+             AS duration_seconds
+    FROM x GROUP BY user_id, session_idx
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (8h inactivity gap) + per-session stats
+    under an exact oracle: boundaries are strict integer-microsecond
+    comparisons with an (ts, event_id) tiebreak, so both engines cut
+    sessions bit-for-bit; duration is one IEEE division of an exact
+    integer. The behavioral-analytics pass that turns an event stream
+    into KG visit observations / training examples."""
+    from p5_rdf_rdb2rdf_spark.ops.sessions import session_stats
+
+    events = _load(spark, sf_dir, ["events"])["events"]
+    return session_stats(events, gap_minutes=480)
+
+
+@_q(
     "text_pack_sequences",
     r"""
     WITH t AS (

@@ -278,6 +278,60 @@ def contamination_flags(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-window chunking — the RAG-indexing / context-window prep pass:
+    each document becomes overlapping windows of ``chunk_tokens``
+    whitespace tokens starting every ``stride`` tokens (default: no
+    overlap, stride = chunk_tokens).
+
+    -> (id, chunk_id, start_token, n_chunk_tokens, chunk_text): chunk k
+    covers tokens [k*stride, k*stride + chunk_tokens); windows start while
+    k*stride < n_tokens, so the last window may be short; empty/null texts
+    produce ZERO chunks (nothing to index). Pure Column plan — tokenize
+    once, build the start index array, explode, slice — one scan, no
+    shuffle, no Python; chunk text is rebuilt with single spaces
+    (consistent with :func:`shingle_array`'s normalization), and the whole
+    definition is integer arithmetic + slicing any SQL engine reproduces
+    exactly."""
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    stride = stride or chunk_tokens
+    if stride <= 0:
+        raise ValueError("stride must be positive")
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    toks = F.split(t, r"\s+")
+    n = F.when(t == "", F.lit(0)).otherwise(F.size(toks))
+    ks = F.when(n == 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(0), F.ceil(n / F.lit(stride)).cast("int") - 1)
+    )
+    start = F.col("chunk_id") * stride
+    return (
+        df.select(
+            F.col(id_col),
+            toks.alias("__t"),
+            n.alias("__n"),
+            F.explode(ks).alias("chunk_id"),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_id",
+            start.cast("long").alias("start_token"),
+            F.least(F.lit(chunk_tokens), F.col("__n") - start)
+            .cast("long")
+            .alias("n_chunk_tokens"),
+            F.concat_ws(
+                " ", F.slice(F.col("__t"), start + 1, chunk_tokens)
+            ).alias("chunk_text"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

@@ -288,3 +288,33 @@ def test_pack_sequences_distributed_prefix_sum(spark):
         for r in pack_sequences(d2, budget=64, token_col="nt").collect()
     }
     assert got == {1: (100, 0), 2: (10, 1)}  # doc 2 starts at token 100
+
+
+def test_chunk_documents_windows(spark):
+    """Token-window chunking: stride/overlap arithmetic, short last window,
+    sub-chunk docs yield one window, empty/null texts yield none."""
+    from p5_rdf_rdb2rdf_spark.ops.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 toks
+            (2, "a b"),                                  # 2 toks
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=8, stride=4)
+    got = {
+        (r.doc_id, r.chunk_id): (r.start_token, r.n_chunk_tokens, r.chunk_text)
+        for r in out.collect()
+    }
+    toks = [f"t{i}" for i in range(10)]
+    assert got == {
+        (1, 0): (0, 8, " ".join(toks[0:8])),
+        (1, 1): (4, 6, " ".join(toks[4:10])),
+        (1, 2): (8, 2, " ".join(toks[8:10])),
+        (2, 0): (0, 2, "a b"),
+    }
+    # non-overlapping default: stride == chunk_tokens
+    assert chunk_documents(docs, chunk_tokens=4).where("doc_id = 1").count() == 3
