@@ -297,11 +297,15 @@ def direct_map(
                 F.count(F.lit(1)), F.count_distinct(*[F.col(c) for c in pk])
             ).first()
             if n_rows != n_keys:
+                # count_distinct skips rows with ANY null key column, so
+                # null-keyed rows also surface here — a null PK is a key
+                # violation too
                 raise ValueError(
                     f"direct_map(verify_keys=True): table {t!r} declares "
                     f"enforced pk {pk} but holds {n_rows - n_keys} duplicate-"
-                    f"key rows ({n_rows} rows, {n_keys} distinct keys); mark "
-                    f'it "pk_enforced": false in the manifest or fix the data'
+                    f"or-null-key rows ({n_rows} rows, {n_keys} distinct "
+                    f'non-null keys); mark it "pk_enforced": false in the '
+                    f"manifest or fix the data"
                 )
 
     def _compile(sub: dict[str, DataFrame], dd: bool) -> DataFrame:

@@ -1,7 +1,11 @@
-"""Large-scale training-data pipeline operations over document/embedding
-tables: deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard,
-embedding-cosine), similarity search (brute-force + LSH-bucketed ANN),
-text analysis (language-ID, quality, tokens, fingerprints), and multimodal
-column plumbing. All hot paths are JVM Column expressions or Arrow-batched
-pandas UDFs — never per-row Python.
+"""Large-scale training-data pipeline operations over document/embedding/
+event tables: deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine, cluster canonicalization), similarity search (brute-force
++ LSH/IVF-bucketed ANN), text analysis (language-ID, quality, tokens,
+fingerprints, vocabulary, decontamination, token-window chunking, sequence
+packing), deterministic sampling/splits (modulo/hashed/stratified), event
+sessionization, graph analytics (degrees, triangles, PageRank), and
+multimodal column plumbing (real header/pixel decode, histograms, resize).
+All hot paths are JVM Column expressions or Arrow-batched pandas UDFs —
+never per-row Python.
 """

@@ -448,13 +448,18 @@ def contamination_semijoin(
     tokenization.
 
     Scale shape (the :func:`.dedup.exact_dedup` key discipline): both
-    sides explode to distinct shingles keyed by a 128-bit digest pair
-    (xxhash64 seeds 0/1), so the join shuffles 16-byte keys — no text
-    crosses an exchange; the phrase side dedups to one row per distinct
-    shingle corpus-wide, and the hit join is a LEFT SEMI equi-join AQE
-    broadcasts whenever the phrase shingle set is small enough. Per-doc
-    counts partial-aggregate map-side. Work is O(total tokens) on each
-    side."""
+    sides explode to shingles keyed by a 128-bit digest pair (xxhash64
+    seeds 0/1), so the join compares 16-byte keys — no text crosses an
+    exchange. The phrase side dedups to one row per distinct shingle
+    corpus-wide (it is the join's build side); the document side is
+    deliberately NOT pre-deduplicated: the LEFT SEMI join — map-side
+    whenever AQE broadcasts the phrase shingle set — filters FIRST, so in
+    the common regime (bounded phrase corpus, rare hits) zero doc-side
+    rows are shuffled before filtering and only HIT shingles enter the
+    distinct-count aggregate (a pre-join distinct would shuffle every
+    shingle of every document to dedup rows the join was about to drop).
+    Per-doc counts partial-aggregate map-side. Work is O(total tokens) on
+    each side."""
     def _digests(src: DataFrame, col: str, keep: "list[str]") -> DataFrame:
         sh = F.explode(
             shingle_array(F.coalesce(F.col(col), F.lit("")), k=shingle_k)
@@ -467,15 +472,14 @@ def contamination_semijoin(
                 F.xxhash64("__s", F.lit(0)).alias("__h0"),
                 F.xxhash64("__s", F.lit(1)).alias("__h1"),
             )
-            .distinct()
         )
 
-    ph = _digests(phrases, phrase_col, [])
+    ph = _digests(phrases, phrase_col, []).distinct()
     doc_sh = _digests(df, text_col, [id_col])
     hits = (
         doc_sh.join(ph, ["__h0", "__h1"], "left_semi")
         .groupBy(id_col)
-        .agg(F.count("*").alias("n_hits"))
+        .agg(F.count_distinct("__h0", "__h1").alias("n_hits"))
     )
     return (
         df.select(id_col)

@@ -226,7 +226,7 @@ def test_direct_map_verify_keys_audit(spark):
     key does not actually hold."""
     dup = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "id int, v string")
     manifest = {"t": {"pk": ["id"], "fks": []}}
-    with pytest.raises(ValueError, match="duplicate-key"):
+    with pytest.raises(ValueError, match="duplicate-or-null-key"):
         direct_map(spark, {"t": dup}, manifest, verify_keys=True)
     # clean data passes the audit and emits the same graph as the default
     ok = spark.createDataFrame([(1, "a"), (2, "c")], "id int, v string")

@@ -174,3 +174,37 @@ def test_composite_pk_scan_pushdown(spark, tpch):
     for line in plan.splitlines():
         if "ReadSchema" in line:
             assert "l_comment" not in line and "l_shipdate" not in line, line
+
+
+def test_r6_ops_plan_shapes(spark, tpch):
+    """Round-6 operators keep their declared plan shapes: chunking and
+    stratified sampling are single-scan no-shuffle no-Python; sessionization
+    has exactly one exchange (the user-key hash) and no Python; packing
+    never plans a global (un-partitioned) Window node; open-set
+    decontamination joins, it does not scan a literal phrase array."""
+    from p5_rdf_rdb2rdf_spark.ops.sample import stratified_sample
+    from p5_rdf_rdb2rdf_spark.ops.sessions import sessionize
+    from p5_rdf_rdb2rdf_spark.ops.text import chunk_documents, pack_sequences
+
+    docs, events = tpch["documents"], tpch["events"]
+
+    chunks = chunk_documents(docs, chunk_tokens=16, stride=8)
+    p = _plan(chunks)
+    assert "Python" not in p and "Exchange" not in p
+    # column pruning reaches the scan: only (doc_id, text) read
+    assert "ReadSchema" in p and "n_chars" not in p.split("ReadSchema")[1][:200]
+
+    strat = stratified_sample(docs, "lang", {"en": 10}, default_pct=100, hashed=False)
+    p = _plan(strat)
+    assert "Python" not in p and "Exchange" not in p
+
+    sess = sessionize(events, gap_minutes=480)
+    p = _plan(sess)
+    assert "Python" not in p
+    assert p.count("Exchange hashpartitioning") == 1  # one user-key shuffle
+    assert "SinglePartition" not in p
+
+    packed = pack_sequences(docs, budget=512)
+    p = _plan(packed)
+    assert "Window" not in p  # distributed prefix sum, never a global window
+    assert "SinglePartition" not in p
