@@ -1568,6 +1568,69 @@ def streaming_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "streaming_sessions",
+    """
+    WITH m AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events),
+    s AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                       > CAST(28800000000 AS BIGINT) THEN 1 ELSE 0 END AS ns
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), x AS (
+      SELECT user_id, ts,
+             CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS sid
+      FROM s
+    ), g AS (
+      SELECT user_id, sid, count(*) AS n_events,
+             min(ts) AS start_ts, max(ts) AS end_ts,
+             max(ts) + INTERVAL 8 HOUR AS session_end
+      FROM x GROUP BY user_id, sid
+    )
+    SELECT user_id, start_ts, end_ts, n_events, session_end
+    FROM g, m WHERE g.session_end <= m.wm
+    """,
+)
+def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window streaming aggregation under the oracle gate:
+    events stream through the file source (availableNow), merge into
+    per-user 8h-gap sessions with a 1h watermark, and append mode emits a
+    session exactly once when the watermark passes its end. The DuckDB
+    twin is the batch gap-island sessionization (same strict-> boundary,
+    pinned by test) restricted to sessions the final watermark closed —
+    so the comparison checks merge semantics AND the emission boundary."""
+    import tempfile
+
+    from p5_rdf_rdb2rdf_spark.streaming import streaming_session_stats
+
+    sch = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(sch)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))  # NTZ -> event time
+    )
+    sess = streaming_session_stats(
+        stream, gap="8 hours", watermark="1 hour"
+    )
+    out, ckpt = tempfile.mkdtemp(), tempfile.mkdtemp()
+    q = (
+        sess.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("streaming_sessions: availableNow query exceeded 180s")
+    return spark.read.parquet(out)
+
+
+@_q(
     "streaming_first_seen",
     """
     SELECT event_type,

@@ -2,6 +2,7 @@ from .incremental import (
     stream_mapping,
     stream_source,
     streaming_first_seen,
+    streaming_session_stats,
     windowed_triple_counts,
     write_triples_stream,
 )
@@ -10,6 +11,7 @@ __all__ = [
     "stream_mapping",
     "stream_source",
     "streaming_first_seen",
+    "streaming_session_stats",
     "windowed_triple_counts",
     "write_triples_stream",
 ]

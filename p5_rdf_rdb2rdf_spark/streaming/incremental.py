@@ -208,3 +208,47 @@ def streaming_first_seen(
             timeoutConf=timeout,
         )
     )
+
+
+def streaming_session_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "8 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Native event-time SESSION windows over a stream — the unbounded-
+    stream form of :func:`..ops.sessions.session_stats`, via Spark's
+    built-in ``session_window`` (merging interval state, no custom Python
+    state kernel needed — prefer the engine's operator where one exists).
+
+    A session is a maximal run of a user's events each within ``gap`` of
+    the previous (boundary semantics match the batch operator exactly:
+    events at PRECISELY gap apart merge, a strictly-greater gap splits —
+    pinned by test). The watermark bounds state: a session closes and is
+    emitted EXACTLY ONCE (append mode) when the watermark passes its end
+    (last event + gap); without the watermark every open session would
+    stay in state forever — the unbounded-state shape a 10^12-event
+    stream cannot carry. Emits (user, start_ts, end_ts, n_events,
+    session_end) where end_ts is the last event and session_end =
+    end_ts + gap (the emission boundary)."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), F.col(user_col)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("start_ts"),
+            F.max(ts_col).alias("end_ts"),
+        )
+        .select(
+            user_col,
+            "start_ts",
+            "end_ts",
+            "n_events",
+            F.col("w.end").alias("session_end"),
+        )
+    )

@@ -36,3 +36,39 @@ def test_sessionize_gap_boundaries_and_tiebreak(spark):
     assert stats[(1, 0)] == (3, 40 * 60.0)
     assert stats[(1, 1)] == (2, 9 * 60.0)
     assert stats[(2, 1)] == (1, 0.0)
+
+
+def test_session_window_matches_batch_boundary_semantics(spark):
+    """The native session_window operator (the streaming path) and the
+    batch gap-island sessionize must agree EXACTLY at the boundary:
+    events precisely gap apart merge, one microsecond more splits."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, 1, _ts(0)),
+        (2, 1, _ts(30)),                                   # == gap: merges
+        (3, 1, _ts(30 + 30) ),                             # == gap again
+        (4, 1, _ts(90) + dt.timedelta(microseconds=1)),    # > gap: splits
+        (5, 2, _ts(0)), (6, 2, _ts(100)),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+
+    batch = {
+        (r.user_id, r.start_ts, r.end_ts, r.n_events)
+        for r in session_stats(df, gap_minutes=30).collect()
+    }
+    native = {
+        (r.user_id, r.start_ts, r.end_ts, r.n_events)
+        for r in (
+            df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.min("ts").alias("start_ts"),
+                F.max("ts").alias("end_ts"),
+            )
+            .select("user_id", "start_ts", "end_ts", "n_events")
+        ).collect()
+    }
+    assert batch == native
+    # the exact-gap chain 1-2-3 is ONE session; the +1us event split off
+    assert (1, _ts(0), _ts(60), 3) in batch
