@@ -774,10 +774,12 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
                        > CAST(28800000000 AS BIGINT) THEN 1 ELSE 0 END AS ns
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY ts ASC NULLS FIRST, event_id)
     ), x AS (
       SELECT user_id, ts,
-             CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             CAST(SUM(ns) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC NULLS FIRST, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING
                                 AND CURRENT ROW) AS BIGINT) AS session_idx
       FROM s

@@ -8,9 +8,11 @@ running sum, all inside whole-stage codegen. The window partitions by user,
 so the only exchange is one hash shuffle on the user key and work
 parallelizes across users; a single pathological mega-user serializes only
 its own partition (order-dependent windows cannot be salted — that is
-inherent to the semantics, not this plan). Gap arithmetic uses exact
-integer microseconds (``unix_micros`` / ``epoch_us``), so any SQL engine
-reproduces session boundaries bit-for-bit.
+inherent to the semantics, not this plan; :func:`sessionize`'s
+``skew_stats`` makes such a key observable as a metric). Gap arithmetic
+uses exact integer microseconds (``unix_micros`` / ``epoch_us``) and the
+window order pins ``NULLS FIRST`` explicitly, so any SQL engine spelling
+out the same null placement reproduces session boundaries bit-for-bit.
 """
 
 from __future__ import annotations
@@ -34,21 +36,36 @@ def sessionize(
     ts_col: str = "ts",
     id_col: str = "event_id",
     gap_minutes: int = 30,
+    skew_observe=None,
 ) -> DataFrame:
     """Assign every event a per-user session index.
 
     A new session starts at a user's first event and whenever the gap to
     the previous event EXCEEDS ``gap_minutes`` (strictly greater, exact
-    microsecond integer comparison). Ordering is (ts, id) — the id
-    tiebreak makes simultaneous events deterministic. Null-ts events sort
-    first in their user's order (Spark and standard SQL NULLS FIRST for
-    ASC) and produce null gaps, which never start a new session beyond the
-    user's initial one.
+    microsecond integer comparison). Ordering is (ts, id) with ts
+    EXPLICITLY ``asc_nulls_first`` — Spark's ASC default happens to be
+    NULLS FIRST but DuckDB's is NULLS LAST, so the null placement is
+    spelled out here and any SQL oracle must spell out ``NULLS FIRST``
+    too; null-ts events then sort first in their user's order and produce
+    null gaps, which never start a new session beyond the user's initial
+    one. The id tiebreak makes simultaneous events deterministic.
+
+    ``skew_observe`` (optional :class:`pyspark.sql.Observation`) makes the
+    one inherent hazard of this plan — a pathological mega-user whose
+    partition serializes — OBSERVABLE instead of a mystery-slow task: it
+    rides the window's existing user-key shuffle (a full-frame count over
+    the SAME partitioning adds a Window pass, never a second exchange) and
+    reports ``max_events_per_user`` plus ``p99_events_per_user``
+    (event-weighted: each event reports its user's total, so the p99 is
+    "99% of events live with users no larger than X" — the task-sizing
+    view that matters for stragglers). Metrics materialize with the first
+    action on the returned frame, costing zero extra jobs.
 
     -> input columns + ``session_idx`` (0-based per user)."""
     if gap_minutes <= 0:
         raise ValueError("gap_minutes must be positive")
-    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    order = [F.col(ts_col).asc_nulls_first(), F.col(id_col)]
+    w = Window.partitionBy(user_col).orderBy(*order)
     prev = F.lag(_micros(F.col(ts_col))).over(w)
     gap_us = F.lit(gap_minutes * 60 * 1_000_000)
     new_s = (
@@ -56,15 +73,29 @@ def sessionize(
         .otherwise(0)
         .cast("long")
     )
-    run = Window.partitionBy(user_col).orderBy(ts_col, id_col).rowsBetween(
+    run = Window.partitionBy(user_col).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     # two projection layers: window functions cannot nest in one select,
     # and the planner fuses both Window nodes over the SAME partitioning/
     # ordering into one sort+shuffle anyway
-    return df.withColumn("__ns", new_s).withColumn(
+    out = df.withColumn("__ns", new_s).withColumn(
         "session_idx", F.sum("__ns").over(run)
     ).drop("__ns")
+    if skew_observe is not None:
+        per_user = Window.partitionBy(user_col)
+        out = (
+            out.withColumn("__user_n", F.count(F.lit(1)).over(per_user))
+            .observe(
+                skew_observe,
+                F.max("__user_n").alias("max_events_per_user"),
+                F.percentile_approx("__user_n", 0.99).alias(
+                    "p99_events_per_user"
+                ),
+            )
+            .drop("__user_n")
+        )
+    return out
 
 
 def session_stats(

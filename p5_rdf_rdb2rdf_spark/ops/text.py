@@ -301,7 +301,7 @@ def chunk_documents(
     exactly."""
     if chunk_tokens <= 0:
         raise ValueError("chunk_tokens must be positive")
-    stride = stride or chunk_tokens
+    stride = chunk_tokens if stride is None else stride
     if stride <= 0:
         raise ValueError("stride must be positive")
     t = F.trim(F.coalesce(F.col(text_col), F.lit("")))

@@ -602,7 +602,11 @@ class DirectMappingStore:
         of its table (≤ that table's row count, from the caller-supplied
         ``table_rows`` footer/catalog stats); otherwise the whole mapping
         (sum of table rows). Returns None when no ``table_rows`` were
-        provided and the pattern pins nothing (no basis for an estimate)."""
+        provided and the pattern pins nothing (no basis for an estimate).
+        Bounds are strict except where noted: with subject bound, a bound
+        PREDICATE pins ≤1 triple, but a bound object under a VARIABLE
+        predicate can match once per column holding that value, so the row
+        width (columns+fks+1) is the bound there, not 1 (ADVICE r6 #2)."""
         if s is not None:
             dec_s = self._decode_subject(s)
             if dec_s is None:
@@ -612,7 +616,7 @@ class DirectMappingStore:
                 if dec_s.table in self.tables
                 else None
             )
-            if p is not None or o is not None:
+            if p is not None:
                 return 1
             return width
         if p is not None and p != RDF_TYPE:

