@@ -63,6 +63,56 @@ _PY_WS = (
 )
 
 
+def literal_anchor(pattern: str) -> str | None:
+    """Longest literal substring every match of ``pattern`` must contain —
+    a NECESSARY condition usable as a pure-JVM ``contains()`` prefilter —
+    or None when no guaranteed run exists. Derived from the stdlib regex
+    parse tree (``re._parser``), so escapes/classes/quantifiers are read
+    exactly as ``re`` itself reads them; conservative rules only:
+
+    - consecutive LITERAL nodes in an unconditionally-executed sequence
+      form a run; groups recurse; a repeat with min>=1 contributes one
+      copy of its body;
+    - alternation, optional/starred content, character classes, ``.``,
+      lookarounds and anchors contribute nothing (they just break runs);
+    - a pattern carrying IGNORECASE (inline or group-local flags) returns
+      None — its "literals" are not literal.
+    """
+    import re as _re
+
+    try:
+        tree = _re.parse(pattern) if hasattr(_re, "parse") else _re._parser.parse(pattern)
+    except _re.error:
+        return None
+    if tree.state.flags & _re.IGNORECASE:
+        return None
+
+    def runs(seq):
+        run: list[str] = []
+        for op, av in seq:
+            name = str(op)
+            if name == "LITERAL":
+                run.append(chr(av))
+                continue
+            if run:
+                yield "".join(run)
+                run = []
+            if name == "SUBPATTERN":
+                _g, add_flags, del_flags, inner = av
+                if add_flags or del_flags:
+                    continue  # group-local flags: contents not trustworthy
+                yield from runs(inner)
+            elif name in ("MAX_REPEAT", "MIN_REPEAT"):
+                lo, _hi, inner = av
+                if lo >= 1:
+                    yield from runs(inner)
+        if run:
+            yield "".join(run)
+
+    best = max(runs(tree.data), key=len, default="")
+    return best or None
+
+
 def _re2_equivalent(pattern: str) -> str | None:
     """Rewrite ``pattern`` into an RE2 pattern with PYTHON ``re`` match
     semantics, or None when equivalence can't be guaranteed (caller falls
@@ -153,39 +203,90 @@ def fused_extractor(patterns: list[str]):
             import pyarrow as pa
             import pyarrow.compute as pc
 
-            arr = pa.Array.from_pandas(texts)
+            # within-batch text dedup: corpora built from templates /
+            # boilerplate repeat whole spans heavily (the bench corpus has
+            # <=30k distinct sentences across millions of spans), so the
+            # regex engine should see each distinct text ONCE per batch.
+            # pd.factorize is one O(n) hash pass; the gate keeps the
+            # all-distinct case on the direct path (factorize cost only,
+            # no gather) — measured break-even well above the 0.7 ratio.
+            codes, uniques = pd.factorize(texts)
+            dedup = 0 < len(uniques) <= 0.7 * len(texts)
+            if dedup:
+                arr = pa.array(uniques, type=pa.string())
+                take_idx = pa.array(codes, type=pa.int64(), mask=codes < 0)
+            else:
+                arr = pa.Array.from_pandas(texts)
             null_str = pa.scalar(None, pa.string())
             cols = {}
             for i, p in enumerate(re2_patterns):
                 m = pc.extract_regex(arr, p)
                 valid = m.is_valid()
-                cols[f"a{i}"] = pc.if_else(valid, m.field("a"), null_str).to_pandas()
-                cols[f"b{i}"] = pc.if_else(valid, m.field("b"), null_str).to_pandas()
+                a = pc.if_else(valid, m.field("a"), null_str)
+                b = pc.if_else(valid, m.field("b"), null_str)
+                if dedup:
+                    a, b = a.take(take_idx), b.take(take_idx)
+                cols[f"a{i}"] = a.to_pandas()
+                cols[f"b{i}"] = b.to_pandas()
             return pd.DataFrame(cols)
 
         return extract
 
     @F.pandas_udf(schema)
     def extract(texts: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        codes, uniques = pd.factorize(texts)
+        dedup = 0 < len(uniques) <= 0.7 * len(texts)
+        src = pd.Series(uniques) if dedup else texts
         cols = {}
         for i, rx in enumerate(compiled):
-            m = texts.str.extract(rx)
-            cols[f"a{i}"] = m["a"]
-            cols[f"b{i}"] = m["b"]
+            m = src.str.extract(rx)
+            if dedup:
+                for g in ("a", "b"):
+                    vals = m[g].to_numpy(dtype=object)
+                    out = np.where(
+                        codes >= 0, vals[np.clip(codes, 0, None)], None
+                    )
+                    cols[f"{g}{i}"] = pd.Series(out)
+            else:
+                cols[f"a{i}"] = m["a"]
+                cols[f"b{i}"] = m["b"]
         return pd.DataFrame(cols)
 
     return extract
 
 
 def extract_relations(
-    text_spans: DataFrame, patterns: list[tuple[str, str]]
+    text_spans: DataFrame,
+    patterns: list[tuple[str, str]],
+    prefilter: bool = True,
 ) -> DataFrame:
     """(doc_id, offset, text, ...) -> one row per detected relation:
     (doc_id, offset, subj_surface, pred, obj_surface).
 
     One UDF pass over the text; the per-pattern fan-out happens JVM-side via
-    inline(array(struct...)) + null filter (no re-scan, no union of scans)."""
+    inline(array(struct...)) + null filter (no re-scan, no union of scans).
+
+    ``prefilter`` (default on) adds a pure-JVM ``contains()`` disjunction
+    over each pattern's :func:`literal_anchor` BEFORE the Arrow boundary
+    (VERDICT r6 #2): a span whose text contains none of the anchors cannot
+    match any pattern, so it never pays Arrow serialization or a regex
+    pass. Sound only when EVERY pattern yields an anchor — if any pattern
+    has no guaranteed literal, the filter is skipped entirely (a row could
+    match that pattern without containing any anchor). On boilerplate-free
+    real corpora this drops the overwhelming majority of spans inside
+    whole-stage codegen; on template-dense corpora it costs one codegen'd
+    substring scan per anchor."""
     src = text_spans.where(F.col("text").isNotNull())
+    if prefilter and patterns:
+        anchors = [literal_anchor(rx) for rx, _ in patterns]
+        if all(anchors):
+            cond = None
+            for a in sorted(set(anchors)):
+                c = F.col("text").contains(a)
+                cond = c if cond is None else (cond | c)
+            src = src.where(cond)
     udf = fused_extractor([rx for rx, _ in patterns])
     hit = src.select("doc_id", "offset", udf(F.col("text")).alias("r"))
     rels = F.array(

@@ -346,3 +346,91 @@ def test_re2_rewrite_rejects_escaped_backslash():
     assert not _re.match(pat, "x y z")
     # plain \S/\s rewrites still take the RE2 path
     assert _re2_equivalent(r"^(?P<a>\S+) (?P<b>\s*)$") is not None
+
+
+def test_literal_anchor_necessary_conditions():
+    """literal_anchor returns a substring every match must contain, or None
+    when no literal is guaranteed (alternation, optional content, inline
+    case-insensitivity) — the soundness contract of the JVM prefilter."""
+    import re
+
+    from p5_rdf_rdb2rdf_spark.pipeline.mentions import literal_anchor
+    from p5_rdf_rdb2rdf_spark.pipeline.kgpipeline import template_patterns
+
+    for rx, _pred in template_patterns():
+        a = literal_anchor(rx)
+        assert a is not None
+    assert literal_anchor(r"^(?P<a>\S+) works at (?P<b>\S+) \.$") == " works at "
+    assert literal_anchor(r"(?P<a>\w+)-(?P<b>\w+)") == "-"
+    # no guaranteed literal -> None, never a wrong anchor
+    assert literal_anchor(r"(foo|bar)(?P<a>.)(?P<b>.)") is None
+    assert literal_anchor(r"(?P<a>\S+)(?: maybe )?(?P<b>\S+)") is None
+    assert literal_anchor(r"(?i)(?P<a>\S+) AT (?P<b>\S+)") is None
+    # property check: anchor is present in every matching string
+    rx = r"^(?P<a>\S+) works at (?P<b>\S+) \.$"
+    anchor = literal_anchor(rx)
+    for s in ["x works at y .", "a works at b ."]:
+        assert re.match(rx, s) and anchor in s
+
+
+def test_extract_relations_prefilter_identical_and_jvm_side(spark):
+    """The anchor prefilter must change the PLAN (codegen'd Contains filter
+    below the Arrow node) and never the RESULT — including spans that
+    contain an anchor but fail the full regex (VERDICT r6 #2)."""
+    from p5_rdf_rdb2rdf_spark.pipeline.mentions import extract_relations
+    from p5_rdf_rdb2rdf_spark.pipeline.kgpipeline import template_patterns
+
+    rows = [
+        ("d1", 0, "entity001 works at entity002 ."),
+        ("d1", 1, "no anchor in this span at all"),
+        ("d2", 0, None),
+        ("d2", 1, "has works at anchor but too many tokens works at ."),
+        ("d3", 0, "alias000 wrote entity099 ."),
+    ] + [("dup", i, "entity001 knows entity002 .") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id string, offset int, text string")
+    pats = template_patterns()
+    on = extract_relations(df, pats, prefilter=True)
+    off = extract_relations(df, pats, prefilter=False)
+    assert sorted(map(tuple, on.collect())) == sorted(map(tuple, off.collect()))
+    plan = on._jdf.queryExecution().executedPlan().toString()
+    assert "Contains" in plan and "ArrowEvalPython" in plan
+    # the filter runs BEFORE the Arrow boundary: Contains appears after
+    # (deeper than) the ArrowEvalPython line in the tree printout
+    assert plan.index("Contains") > plan.index("ArrowEvalPython")
+    # a pattern with no guaranteed literal disables the filter entirely
+    unsafe = pats + [(r"(?P<a>.)(x|y)(?P<b>.)", "http://example.org/p")]
+    plan2 = (
+        extract_relations(df, unsafe, prefilter=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Contains" not in plan2
+
+
+def test_fused_extractor_batch_dedup_paths_identical(spark, monkeypatch):
+    """The within-batch factorize dedup (heavy-duplicate batches run each
+    distinct text through the regex once) must be value-identical to the
+    direct path on BOTH engines — duplicates, all-distinct, and null
+    texts."""
+    from p5_rdf_rdb2rdf_spark.pipeline import mentions
+    from p5_rdf_rdb2rdf_spark.pipeline.kgpipeline import template_patterns
+
+    pats = [p for p, _ in template_patterns()]
+    dup_texts = (
+        ["entity001 works at entity002 ."] * 30
+        + ["alias000 wrote entity099 ."] * 10
+        + [None, "no match here"] * 5
+    )
+    distinct_texts = [f"entity{i:03d} knows entity{(i+1)%100:03d} ." for i in range(40)]
+    for texts in (dup_texts, distinct_texts):
+        df = spark.createDataFrame([(t,) for t in texts], "text string").coalesce(1)
+        fast = df.select(mentions.fused_extractor(pats)("text").alias("r")).collect()
+        monkeypatch.setattr(mentions, "_re2_compatible", lambda _p: None)
+        slow = df.select(mentions.fused_extractor(pats)("text").alias("r")).collect()
+        monkeypatch.undo()
+        assert fast == slow
+        # positional integrity: row i's extraction matches row i's text
+        for t, row in zip(texts, fast):
+            if t == "entity001 works at entity002 .":
+                assert row.r.a0 == "entity001" and row.r.b0 == "entity002"
+            elif t is None or t == "no match here":
+                assert row.r.a0 is None and row.r.a1 is None and row.r.a2 is None
