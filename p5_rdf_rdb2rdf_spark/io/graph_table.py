@@ -319,6 +319,16 @@ class GraphTable:
         snap["chain_len"] = len(snap["dirs"])
         snap["delta_rows"] = snap["total_rows"]
         snap["total_rows"] = cur["total_rows"] + snap["total_rows"]
+        # fold the parent chain's per-bucket counts into this link (exact:
+        # the delta is disjoint from the parent by anti-join), so
+        # ``partition_rows`` always describes the WHOLE chain — BGP join
+        # ordering reads the newest link only, and delta-only counts after
+        # many merges would anchor joins on stale estimates (VERDICT r6 #4).
+        # Invariant preserved: sum(partition_rows) == total_rows.
+        chained = dict(cur.get("partition_rows", {}))
+        for b, r in snap["partition_rows"].items():
+            chained[b] = chained.get(b, 0) + r
+        snap["partition_rows"] = chained
         snap["pred_buckets"] = {**cur.get("pred_buckets", {}), **snap["pred_buckets"]}
         # the chained map is complete only if every link's was
         snap["pred_map_complete"] = (

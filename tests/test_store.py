@@ -449,3 +449,58 @@ def test_dm_estimate_s_bound_var_predicate_bound_object_width(spark, tables):
         )
         == 1
     )
+
+
+def test_bgp_ordering_survives_merge_chain_counts(spark, tmp_path):
+    """VERDICT r6 #4: after merges, ``partition_rows`` must describe the
+    WHOLE chain. Planted misorder: the newest delta carries FEWER rows of
+    the common predicate than the rare predicate has in total, so
+    delta-only counts would anchor the huge common pattern first; the
+    folded chain counts anchor the rare pattern."""
+    from p5_rdf_rdb2rdf_spark.io.graph_table import GraphTable
+    from p5_rdf_rdb2rdf_spark.store import match_bgp
+
+    gt = GraphTable(
+        spark, str(tmp_path / "gt_chain"), n_buckets=16, closed_vocabulary=True
+    )
+    common = "http://p/common"
+    cb = gt._bucket_via_job(common)
+    rare = next(
+        c for c in (f"http://p/rare{i}" for i in range(20))
+        if gt._bucket_via_job(c) != cb
+    )
+    schema = (
+        "s_kind string, s_value string, p_value string, o_kind string, "
+        "o_value string, o_datatype string, o_lang string, g_value string"
+    )
+    base = [
+        ("iri", f"http://s/{i}", common, "literal", f"v{i % 7}", None, None, None)
+        for i in range(500)
+    ]
+    gt.write(spark.createDataFrame(base, schema))
+    delta = [
+        ("iri", f"http://s/{i}", common, "literal", f"v{i % 7}", None, None, None)
+        for i in range(500, 502)  # only 2 NEW common rows in the delta
+    ] + [
+        ("iri", f"http://s/{i}", rare, "iri", f"http://t/{i}", None, None, None)
+        for i in range(3)
+    ]
+    gt.merge(spark.createDataFrame(delta, schema))
+    snap = gt.current_snapshot()
+    assert snap["chain_len"] == 2
+    # folded invariant: bucket counts sum to the chain total
+    assert sum(snap["partition_rows"].values()) == snap["total_rows"] == 505
+
+    store = TripleStore(gt)
+    assert store.estimate_pattern_rows(p=common) >= 502  # not the delta's 2
+    probe = _ProbeStore(store)
+    out = match_bgp(
+        probe,
+        [("?x", common, "v3"), ("?x", rare, "?z")],
+    )
+    assert probe.calls[0] == (None, rare, None)  # rare still anchors
+    got = sorted((r.x.value, r.z.value) for r in out.collect())
+    want = sorted(
+        (f"http://s/{i}", f"http://t/{i}") for i in range(3) if i % 7 == 3
+    )
+    assert got == want
