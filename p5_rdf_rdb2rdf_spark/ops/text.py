@@ -28,8 +28,124 @@ BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 def bpeish_token_count(text: Column) -> Column:
     """BPE-ish token estimate: alpha runs + digit runs + punctuation singles,
-    via one vectorized regexp scan (regexp_count stays in codegen)."""
+    via one vectorized regexp scan (regexp_count stays in codegen). For
+    exact, vocab-driven counts see :func:`bpe_token_counts`."""
     return F.coalesce(F.regexp_count(text, F.lit(BPE_ISH_RE)), F.lit(0))
+
+
+# ---------------------------------------------------------------------------
+# real BPE: vocab-driven merge tokenization (VERDICT r6 #6)
+
+
+def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Classical byte-pair-encoding of ONE word: start from characters,
+    repeatedly merge ALL adjacent occurrences of the lowest-ranked pair
+    until no pair is in ``ranks`` — the standard greedy loop (same merge
+    policy as GPT-2's ``bpe()``; pure function, the distributed kernels
+    and the pytest reference twin both call it)."""
+    syms = list(word)
+    while len(syms) > 1:
+        best = None
+        best_rank = None
+        for pair in zip(syms, syms[1:]):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = pair, r
+        if best is None:
+            return syms
+        first, second = best
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == first and syms[i + 1] == second:
+                out.append(first + second)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def _bpe_batch_kernel(merges: list[tuple[str, str]], want_tokens: bool):
+    """Shared Arrow-batch kernel: texts -> per-doc token count (int64) or
+    token array. Whitespace pre-tokenization (Python ``str.split``); each
+    DISTINCT word in the batch is encoded once and cached across batches
+    (word vocabularies are dictionary-scale while corpora are corpus-scale
+    — the same two-stage discipline as the surface-digest encoding), so
+    the per-word Python loop runs at vocabulary frequency, not row
+    frequency. The merges list rides the UDF closure — broadcast once per
+    executor with the serialized function, exactly like the mention
+    vocab."""
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    cache: dict[str, list[str]] = {}
+
+    def encode(word: str) -> list[str]:
+        got = cache.get(word)
+        if got is None:
+            got = cache[word] = bpe_encode_word(word, ranks)
+        return got
+
+    # NB: no type hints on the kernels — this module uses
+    # ``from __future__ import annotations`` and PySpark cannot resolve the
+    # stringified 'pd.Series' hints for a locally-imported pandas; the udf
+    # type is declared explicitly at the F.pandas_udf call sites instead.
+    if want_tokens:
+
+        def kernel(texts):
+            return texts.map(
+                lambda t: None
+                if t is None
+                else [tok for w in t.split() for tok in encode(w)],
+                na_action=None,
+            )
+
+    else:
+
+        def kernel(texts):
+            return texts.map(
+                lambda t: 0
+                if t is None
+                else sum(len(encode(w)) for w in t.split()),
+                na_action=None,
+            ).astype("int64")
+
+    return kernel
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "n_bpe_tokens",
+) -> DataFrame:
+    """Exact token counts under a real BPE merge table — the number a
+    training-data pipeline budgets by (``bpeish_token_count`` is only a
+    proxy). Adds ``out_col`` (long; null text counts 0). Feed the result
+    to :func:`pack_sequences` / :func:`chunk_documents` via their
+    ``token_col`` hooks to pack by true tokenizer length.
+
+    Oracle note: a SINGLE merge ("a","b") with a!=b has the closed form
+    ``non_ws_chars - occurrences("ab")`` (merging all non-overlapping
+    occurrences in one pass), which DuckDB expresses with length/replace —
+    the driver-gated oracle uses that; multi-merge chains are iterative
+    and deliberately pinned by the pytest reference twin instead."""
+    kernel = F.pandas_udf(_bpe_batch_kernel(merges, want_tokens=False), "long")
+    return df.withColumn(out_col, kernel(F.col(text_col)))
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Full BPE token sequences (``array<string>``; null text -> null).
+    Same kernel/caching as :func:`bpe_token_counts`."""
+    kernel = F.pandas_udf(
+        _bpe_batch_kernel(merges, want_tokens=True), "array<string>"
+    )
+    return df.withColumn(out_col, kernel(F.col(text_col)))
 
 
 # ---------------------------------------------------------------------------

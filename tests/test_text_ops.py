@@ -318,3 +318,101 @@ def test_chunk_documents_windows(spark):
     }
     # non-overlapping default: stride == chunk_tokens
     assert chunk_documents(docs, chunk_tokens=4).where("doc_id = 1").count() == 3
+
+
+def _ref_bpe(word: str, merges: list) -> list:
+    """Independent quadratic reference: apply merge rules strictly in rank
+    order, rescanning from scratch after every successful merge — a
+    different algorithm shape from the engine's lowest-rank-pair loop, so
+    agreement is evidence, not tautology."""
+    syms = list(word)
+    changed = True
+    while changed:
+        changed = False
+        # find the lowest-ranked pair present anywhere
+        for rank, (a, b) in enumerate(merges):
+            positions = [
+                i for i in range(len(syms) - 1)
+                if syms[i] == a and syms[i + 1] == b
+            ]
+            if not positions:
+                continue
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+            changed = True
+            break
+    return syms
+
+
+def test_bpe_matches_reference_on_planted_texts(spark):
+    """bpe_tokenize / bpe_token_counts vs the independent reference on a
+    multi-merge chain (each merge feeds the next), ties, repeats, null and
+    empty texts."""
+    from p5_rdf_rdb2rdf_spark.ops.text import (
+        bpe_encode_word,
+        bpe_token_counts,
+        bpe_tokenize,
+    )
+
+    merges = [("a", "b"), ("ab", "l"), ("t", "abl"), ("tabl", "e"), ("b", "a")]
+    ranks = {p: i for i, p in enumerate(merges)}
+    words = [
+        "table", "tablet", "abab", "baba", "aab", "abba", "b", "",
+        "ababab", "tabletable", "xyz",
+    ]
+    for w in words:
+        assert bpe_encode_word(w, ranks) == _ref_bpe(w, merges), w
+    assert bpe_encode_word("table", ranks) == ["table"]  # full chain fires
+
+    texts = [
+        (1, "table batch value"),
+        (2, "abab ab a b"),
+        (3, None),
+        (4, ""),
+        (5, "tabletable table"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got_toks = {
+        r.doc_id: r.bpe_tokens for r in bpe_tokenize(df, merges).collect()
+    }
+    got_counts = {
+        r.doc_id: r.n_bpe_tokens for r in bpe_token_counts(df, merges).collect()
+    }
+    for doc_id, t in texts:
+        if t is None:
+            assert got_toks[doc_id] is None and got_counts[doc_id] == 0
+            continue
+        want = [tok for w in t.split() for tok in _ref_bpe(w, merges)]
+        assert got_toks[doc_id] == want, (doc_id, got_toks[doc_id], want)
+        assert got_counts[doc_id] == len(want)
+
+
+def test_bpe_counts_feed_pack_sequences(spark):
+    """token_col integration: packing by real BPE counts equals packing a
+    hand-computed count column."""
+    from p5_rdf_rdb2rdf_spark.ops.text import bpe_token_counts, pack_sequences
+
+    merges = [("a", "b")]
+    df = spark.createDataFrame(
+        [(i, "table batch " * (i + 1)) for i in range(10)],
+        "doc_id long, text string",
+    )
+    counted = bpe_token_counts(df, merges)
+    packed = pack_sequences(counted, budget=16, token_col="n_bpe_tokens")
+    # under the ab-merge: "table"->t,ab,l,e (4), "batch"->b,a,t,c,h (5 — the
+    # a precedes the b, no adjacency): each repeat adds 9
+    by_id = {r.doc_id: r for r in packed.collect()}
+    prefix = 0
+    for i in range(10):
+        n = 9 * (i + 1)
+        assert by_id[i].n_tokens == n
+        assert by_id[i].seq_id == prefix // 16
+        assert by_id[i].seq_offset == prefix % 16
+        prefix += n
