@@ -1079,6 +1079,43 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ann_sq8_topk",
+    """
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 9) AS cosine
+      FROM embeddings q, embeddings c
+      WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+    ), ranked AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 quantized two-stage search (VERDICT r6 #7) with an exhaustive
+    shortlist (rerank_factor=None): the int8 coarse stage then only
+    reorders candidates and the exact float re-rank — the stage this
+    oracle pins — must reproduce brute force bit-for-bit, proving
+    quantize/coarse/shortlist/re-rank end-to-end (the ivf_topk
+    nprobe=nlist trick). The small-factor recall path and the
+    JVM-only-coarse plan shape are pinned in tests/test_similarity.py."""
+    from p5_rdf_rdb2rdf_spark.ops.similarity import sq8_topk
+
+    emb = _load(spark, sf_dir, ["embeddings"])["embeddings"]
+    queries_df = emb.where("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sq8_topk(emb, queries_df, k=5, rerank_factor=None).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
+@_q(
     "ann_lsh_topk",
     """
     WITH scored AS (

@@ -190,6 +190,34 @@ def main() -> None:
             for k in big["stages"]:
                 lines.append(f"| {k} | {small['stages'].get(k)} | {big['stages'].get(k)} |")
             lines.append("")
+        # per-pair pooled table (VERDICT r6 #3): pair i = i-th small run vs
+        # i-th big run (adjacent in time — the interleave is the drift
+        # control), plus the min-merged ratio over the whole pool and the
+        # per-pair spread, so one hot/cold window can't set the headline.
+        pool_s = results[(job, SMALL)]
+        pool_b = results[(job, BIG)]
+        pair_effs = [
+            s["wall"] / (4.0 * b["wall"]) for s, b in zip(pool_s, pool_b)
+        ]
+        if len(pair_effs) > 1:
+            med = sorted(pair_effs)[len(pair_effs) // 2]
+            summary[f"{job}_pair_effs"] = [round(e, 3) for e in pair_effs]
+            summary[f"{job}_eff_median"] = round(med, 3)
+            lines.append(
+                f"Pairwise pool ({len(pair_effs)} interleaved pairs): "
+                + ", ".join(f"{e:.3f}" for e in pair_effs)
+                + f" — min {min(pair_effs):.3f} / median {med:.3f} / "
+                f"max {max(pair_effs):.3f}; min-merged (best wall each side "
+                f"across the pool) = {eff:.3f}"
+            )
+            lines.append("")
+            lines.append("| pair | t(1 exec) s | t(4 exec) s | pair efficiency |")
+            lines.append("|---|---|---|---|")
+            for i, (s, b) in enumerate(zip(pool_s, pool_b), 1):
+                lines.append(
+                    f"| {i} | {s['wall']} | {b['wall']} | {pair_effs[i-1]:.3f} |"
+                )
+            lines.append("")
         lines.append(f"raw {job} small: `{json.dumps(small)}`")
         lines.append(f"raw {job} big:   `{json.dumps(big)}`")
         lines.append("")

@@ -388,11 +388,16 @@ def ngram_jaccard_pairs(
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array<float/double> columns, JVM-side."""
+    """Cosine similarity of two array<float/double> columns, JVM-side.
+    Zero-norm (degenerate) vectors yield NULL — cosine is undefined there,
+    and under ANSI mode an unguarded divide would abort the whole job for
+    one bad row; NULL drops out of thresholds and sorts last in top-k."""
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
     na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
     nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
-    return dot / (na * nb)
+    return F.when(na * nb == 0.0, F.lit(None).cast("double")).otherwise(
+        dot / (na * nb)
+    )
 
 
 def embedding_neardup_pairs(

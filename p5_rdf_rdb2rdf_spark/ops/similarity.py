@@ -308,6 +308,131 @@ def ivf_topk(
 
 
 # ---------------------------------------------------------------------------
+# SQ8 scalar quantization: int8 coarse scoring + exact re-rank (VERDICT r6 #7)
+
+
+def sq8_quantize(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "sq8"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: ``q_i = round(x_i * 127 /
+    max|x|)`` as ``array<tinyint>`` plus the quantized vector's own L2 norm
+    (``out_col + '_norm'``). Pure Column expressions — no Python anywhere.
+
+    The per-vector scale CANCELS in cosine, so coarse similarity needs no
+    dequantization: ``cos(x, y) ~ dot(q(x), q(y)) / (|q(x)| |q(y)|)``. At
+    100 TB the point is bytes, not FLOPs: persist this projection next to
+    the float column and the ANN coarse pass scans/caches 1-byte
+    components instead of 8-byte doubles — the same
+    shrink-the-hot-path-payload discipline as the KG digest pairs and the
+    dedup slim bands. Zero vectors quantize to all-zero with norm 0 (the
+    coarse score against anything is then null-safe 0 via the guarded
+    divide in :func:`sq8_topk`)."""
+    v = F.col(vec_col).cast("array<double>")
+    maxabs = F.aggregate(
+        v, F.lit(0.0), lambda s, x: F.greatest(s, F.abs(x))
+    )
+    scale = F.when(maxabs == 0.0, F.lit(1.0)).otherwise(maxabs / F.lit(127.0))
+    q = F.transform(v, lambda x: F.round(x / scale).cast("tinyint"))
+    qn = F.sqrt(
+        F.aggregate(
+            F.transform(q, lambda b: (b.cast("int") * b.cast("int")).cast("long")),
+            F.lit(0).cast("long"),
+            lambda s, x: s + x,
+        ).cast("double")
+    )
+    return df.withColumn(out_col, q).withColumn(f"{out_col}_norm", qn)
+
+
+def _sq8_dot(a: Column, b: Column) -> Column:
+    """Integer dot product of two int8 arrays (long accumulator — 127^2 *
+    dim stays far inside long range). JVM-only."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("int") * y.cast("int")).cast("long")),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rerank_factor: int | None = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Two-stage quantized top-k — int8 coarse scoring, exact float re-rank
+    on the survivors (the dedup ops' filter-then-verify discipline):
+
+    1. COARSE (JVM-only, no Python): corpus and queries quantize via
+       :func:`sq8_quantize`; approximate cosine is an integer dot over
+       int8 arrays. The corpus side carries ONLY (id, int8 vector, norm) —
+       1/8th the scan/cache bytes of the float path.
+    2. SHORTLIST: per query keep the top ``k * rerank_factor`` candidates
+       by coarse score (ties by id).
+    3. EXACT RE-RANK: the shortlist (query_id, id — tiny) broadcast-joins
+       back to the FLOAT corpus, exact cosine is computed only for
+       survivors, and the final top-k window runs over ~k*factor rows per
+       query.
+
+    ``rerank_factor=None`` keeps EVERY candidate — the coarse stage then
+    only reorders and the result is exactly brute force (the driver-gated
+    oracle uses this degeneration, same trick as ``ivf_topk`` with
+    ``nprobe=nlist``); small factors are the scale path, with recall
+    pinned in tests. Self-matches are excluded, matching
+    :func:`cosine_topk`."""
+    if rerank_factor is not None and rerank_factor < 1:
+        raise ValueError("rerank_factor must be >= 1 (or None for exhaustive)")
+    cq = sq8_quantize(
+        corpus.select(F.col(id_col), F.col(vec_col)), vec_col=vec_col
+    ).select(id_col, "sq8", "sq8_norm")
+    qq = sq8_quantize(
+        queries.select(F.col(query_id_col), F.col(vec_col)), vec_col=vec_col
+    ).select(
+        query_id_col,
+        F.col("sq8").alias("q_sq8"),
+        F.col("sq8_norm").alias("q_norm"),
+    )
+    denom = F.col("sq8_norm") * F.col("q_norm")
+    coarse = (
+        cq.crossJoin(F.broadcast(qq))
+        .where(F.col(query_id_col) != F.col(id_col))
+        .select(
+            query_id_col,
+            id_col,
+            F.when(denom == 0.0, F.lit(0.0))
+            .otherwise(_sq8_dot(F.col("sq8"), F.col("q_sq8")) / denom)
+            .alias("coarse"),
+        )
+    )
+    if rerank_factor is not None:
+        w = Window.partitionBy(query_id_col).orderBy(F.desc("coarse"), F.asc(id_col))
+        coarse = (
+            coarse.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= k * rerank_factor)
+        )
+    shortlist = coarse.select(query_id_col, id_col)
+    cand = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).join(F.broadcast(shortlist), id_col)
+    qv = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    scored = cand.join(F.broadcast(qv), query_id_col).select(
+        query_id_col,
+        id_col,
+        F.round(cosine_expr(F.col("qv"), F.col("v")), 9).alias("cosine"),
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # BLAS variant for long vectors
 
 

@@ -115,3 +115,79 @@ def test_ivf_narrow_probe_recall(spark, emb):
 
     per_q = Counter(q for q, _ in got)
     assert all(v == 5 for v in per_q.values())
+
+
+def test_sq8_exhaustive_rerank_equals_bruteforce(spark, emb):
+    """rerank_factor=None keeps every candidate, so the quantized path must
+    degenerate to exact brute force — proving quantize/coarse/shortlist/
+    re-rank end-to-end (VERDICT r6 #7)."""
+    from p5_rdf_rdb2rdf_spark.ops.similarity import sq8_topk
+
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in sq8_topk(emb, queries, k=5, rerank_factor=None).collect()
+    }
+    assert got == exact
+
+
+def test_sq8_shortlist_recall_beats_unquantized_bounds(spark, emb):
+    """Small-factor SQ8 recall vs exact top-5 must beat the unquantized
+    approximate paths' pinned bounds (LSH 0.3, IVF-narrow 0.5) — int8
+    cosine error is tiny, so a 4x shortlist should be near-exact."""
+    from p5_rdf_rdb2rdf_spark.ops.similarity import sq8_topk
+
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id)
+        for r in sq8_topk(emb, queries, k=5, rerank_factor=4).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, recall
+
+
+def test_sq8_coarse_path_jvm_only_and_quantization_shape(spark, emb):
+    """The coarse stage must contain NO Python eval nodes (the mandate:
+    quantized coarse scoring is a JVM byte-payload path); re-rank touches
+    floats only for the shortlist. Quantization edge cases: zero vector ->
+    all-zero int8 with norm 0, never null/error."""
+    from p5_rdf_rdb2rdf_spark.ops.similarity import sq8_quantize, sq8_topk
+
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = (
+        sq8_topk(emb, queries, k=5, rerank_factor=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan, plan  # no Batch/ArrowEvalPython anywhere
+
+    z = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r.vec_id: r for r in sq8_quantize(z).collect()}
+    assert rows[1].sq8 == [0, 0, 0] and rows[1].sq8_norm == 0.0
+    assert rows[2].sq8 == [64, -127, 32]  # round(x*127/2)
+    # zero-vector rows: coarse scores a guarded 0, exact cosine is NULL
+    # (undefined), and the job never aborts on an ANSI divide-by-zero
+    got = sq8_topk(
+        z,
+        z.select(F.col("vec_id").alias("query_id"), "embedding"),
+        k=1,
+        rerank_factor=1,
+    ).collect()
+    assert len(got) == 2
+    assert all(r.cosine is None for r in got)  # every pair involves the zero vec
