@@ -188,71 +188,85 @@ def fused_extractor(patterns: list[str]):
     be proven equivalent routes the whole extractor to the pandas path,
     chosen once driver-side. extract_regex leaves child fields unmasked
     for non-matching rows, so the struct's own validity bitmap is applied
-    explicitly (a bare ``.field()`` read returns garbage for misses)."""
+    explicitly (a bare ``.field()`` read returns garbage for misses).
+
+    Both engines run behind a capped CROSS-BATCH text->extraction cache
+    (see the inline note): each distinct text pays the regex engines once
+    per Python worker, so template-dense corpora converge to a pure
+    factorize+gather kernel after warm-up."""
     compiled = [re.compile(p) for p in patterns]  # validate Python-side
     fields = []
     for i in range(len(patterns)):
         fields += [T.StructField(f"a{i}", T.StringType()), T.StructField(f"b{i}", T.StringType())]
     schema = T.StructType(fields)
 
+    col_names = [f"{g}{i}" for i in range(len(patterns)) for g in ("a", "b")]
+    width = len(col_names)
     re2_patterns = _re2_compatible(patterns)
+
     if re2_patterns is not None:
 
-        @F.pandas_udf(schema)
-        def extract(texts: pd.Series) -> pd.DataFrame:
+        def extract_missing(words: list) -> list[tuple]:
             import pyarrow as pa
             import pyarrow.compute as pc
 
-            # within-batch text dedup: corpora built from templates /
-            # boilerplate repeat whole spans heavily (the bench corpus has
-            # <=30k distinct sentences across millions of spans), so the
-            # regex engine should see each distinct text ONCE per batch.
-            # pd.factorize is one O(n) hash pass; the gate keeps the
-            # all-distinct case on the direct path (factorize cost only,
-            # no gather) — measured break-even well above the 0.7 ratio.
-            codes, uniques = pd.factorize(texts)
-            dedup = 0 < len(uniques) <= 0.7 * len(texts)
-            if dedup:
-                arr = pa.array(uniques, type=pa.string())
-                take_idx = pa.array(codes, type=pa.int64(), mask=codes < 0)
-            else:
-                arr = pa.Array.from_pandas(texts)
+            arr = pa.array(words, type=pa.string())
             null_str = pa.scalar(None, pa.string())
-            cols = {}
-            for i, p in enumerate(re2_patterns):
+            groups = []
+            for p in re2_patterns:
                 m = pc.extract_regex(arr, p)
                 valid = m.is_valid()
-                a = pc.if_else(valid, m.field("a"), null_str)
-                b = pc.if_else(valid, m.field("b"), null_str)
-                if dedup:
-                    a, b = a.take(take_idx), b.take(take_idx)
-                cols[f"a{i}"] = a.to_pandas()
-                cols[f"b{i}"] = b.to_pandas()
-            return pd.DataFrame(cols)
+                groups.append(pc.if_else(valid, m.field("a"), null_str).to_pylist())
+                groups.append(pc.if_else(valid, m.field("b"), null_str).to_pylist())
+            return list(zip(*groups)) if words else []
 
-        return extract
+    else:
+
+        def extract_missing(words: list) -> list[tuple]:
+            src = pd.Series(words, dtype=object)
+            groups = []
+            for rx in compiled:
+                m = src.str.extract(rx)
+                groups.append(
+                    [None if pd.isna(v) else v for v in m["a"].tolist()]
+                )
+                groups.append(
+                    [None if pd.isna(v) else v for v in m["b"].tolist()]
+                )
+            return list(zip(*groups)) if words else []
+
+    # cross-batch extraction cache: template/boilerplate corpora repeat
+    # whole spans at corpus scale while the distinct-sentence vocabulary
+    # stays bounded (the bench corpus: <=30k distinct sentences across
+    # tens of millions of spans), so after warm-up the regex engine runs
+    # only on never-seen texts. A per-BATCH dedup cannot capture this —
+    # a 10k-row Arrow batch over a 30k vocabulary is ~86% distinct no
+    # matter how large the corpus is. The cache is capped (insert-only,
+    # no eviction thrash: past the cap, fresh texts are extracted for
+    # their batch but not retained) and lives per Python worker; results
+    # are a pure function of the text, so reuse is exact.
+    cache: dict = {}
+    cache_cap = 1 << 18  # ~260k entries; bounded worker memory
 
     @F.pandas_udf(schema)
     def extract(texts: pd.Series) -> pd.DataFrame:
         import numpy as np
 
         codes, uniques = pd.factorize(texts)
-        dedup = 0 < len(uniques) <= 0.7 * len(texts)
-        src = pd.Series(uniques) if dedup else texts
-        cols = {}
-        for i, rx in enumerate(compiled):
-            m = src.str.extract(rx)
-            if dedup:
-                for g in ("a", "b"):
-                    vals = m[g].to_numpy(dtype=object)
-                    out = np.where(
-                        codes >= 0, vals[np.clip(codes, 0, None)], None
-                    )
-                    cols[f"{g}{i}"] = pd.Series(out)
-            else:
-                cols[f"a{i}"] = m["a"]
-                cols[f"b{i}"] = m["b"]
-        return pd.DataFrame(cols)
+        uniq = list(uniques)
+        rows: list = [cache.get(t) for t in uniq]
+        miss = [i for i, r in enumerate(rows) if r is None]
+        if miss:
+            fresh = extract_missing([uniq[i] for i in miss])
+            under_cap = len(cache) < cache_cap
+            for j, i in enumerate(miss):
+                rows[i] = fresh[j]
+                if under_cap:
+                    cache[uniq[i]] = fresh[j]
+        rows.append((None,) * width)  # sentinel row for null texts
+        mat = np.array(rows, dtype=object)
+        out = mat[np.where(codes >= 0, codes, len(rows) - 1)]
+        return pd.DataFrame(out, columns=col_names)
 
     return extract
 
