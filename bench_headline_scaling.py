@@ -48,8 +48,21 @@ BIG = f"local-cluster[4,{EXEC_CORES},{EXEC_MEM_MB}]"
 
 
 def _ensure_corpus() -> None:
+    """Synthesize the corpus in a SUBPROCESS: ``spark.stop()`` stops the
+    context but the py4j gateway JVM lives as long as its Python process —
+    synthesizing in-process left a 16g local[32] JVM burning CPU under
+    every subsequent pair measurement (discovered r7: it inflated four
+    pool pairs by 20-80% before being caught). A child process takes the
+    JVM down with it."""
     if os.path.exists(os.path.join(CORPUS_DIR, "_SUCCESS")):
         return
+    subprocess.run(
+        [sys.executable, str(ROOT / "bench_headline_scaling.py"), "--synth"],
+        check=True, timeout=1800, env=dict(os.environ),
+    )
+
+
+def synth_child() -> None:
     from p5_rdf_rdb2rdf_spark.pipeline.corpus import synth_corpus
     from p5_rdf_rdb2rdf_spark.session import get_spark
 
@@ -230,5 +243,7 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
         child(sys.argv[2], sys.argv[3], int(sys.argv[4]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--synth":
+        synth_child()
     else:
         main()
