@@ -975,15 +975,54 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(_derived_edges(spark, sf_dir))
 
 
-@_q("graph_pagerank")  # no SQL oracle: float sums are order-dependent
+def _pagerank_unrolled_sql(iters: int = 5) -> str:
+    """DuckDB twin of 5 damped power-iteration rounds over the derived
+    graph, UNROLLED into one CTE per round (plain SQL, no recursion). On
+    the derived graph every one of the 50 nodes has out-edges (src =
+    doc_id % 50 covers all residues), so the dangling term is exactly 0
+    and each round is rank' = 0.15/50 + 0.85 * sum_in(rank/deg). Ranks
+    are emitted as integer PARTS-PER-MILLION: cross-engine float
+    summation differs in the last ulps, which a micro-unit round makes
+    hash-identical (the boundary-collision probability at 1e-14 relative
+    error is negligible) — the same drop-the-raw-float discipline as the
+    ANN oracles."""
+    parts = [
+        "e AS (SELECT doc_id % 50 AS src, (doc_id*doc_id + 1) % 50 AS dst"
+        " FROM documents)",
+        "deg AS (SELECT src, count(*) AS dg FROM e GROUP BY src)",
+        "nd AS (SELECT DISTINCT src AS node FROM e"
+        " UNION SELECT DISTINCT dst AS node FROM e)",
+        "r0 AS (SELECT node, 1.0/50 AS r FROM nd)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"r{i} AS (SELECT nd.node, 0.15/50 + 0.85*coalesce(s.c, 0) AS r"
+            f" FROM nd LEFT JOIN (SELECT e.dst AS node,"
+            f" sum(p.r / deg.dg) AS c FROM e"
+            f" JOIN r{i-1} p ON p.node = e.src"
+            f" JOIN deg ON deg.src = e.src"
+            f" GROUP BY e.dst) s USING (node))"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node, CAST(round(r * 1000000) AS BIGINT) AS rank_ppm"
+        f" FROM r{iters}"
+    )
+
+
+@_q("graph_pagerank", _pagerank_unrolled_sql(5))
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Damped PageRank (5 iterations) over the derived graph — rows-only
-    driver check by design: cross-engine float summation is order-dependent,
-    so value-level verification lives in tests/test_graph_ops.py (exact
-    Python-twin equality at 1e-12, rank-sum and symmetry invariants)."""
+    """Damped PageRank (5 iterations) over the derived graph, now under a
+    FULL oracle (was rows-only through r6): the DuckDB twin unrolls the
+    five rounds into CTE layers and both engines emit integer ppm ranks,
+    sidestepping order-dependent float stringification while pinning the
+    values to 1e-6 absolute. Exact 1e-12 Python-twin equality of the raw
+    doubles stays in tests/test_graph_ops.py."""
     from p5_rdf_rdb2rdf_spark.ops.graph import pagerank
 
-    return pagerank(_derived_edges(spark, sf_dir), iterations=5)
+    return pagerank(_derived_edges(spark, sf_dir), iterations=5).select(
+        "node", F.round(F.col("rank") * 1_000_000).cast("long").alias("rank_ppm")
+    )
 
 
 @_q(
