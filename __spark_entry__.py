@@ -1896,6 +1896,175 @@ def store_bgp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "store_optional",
+    f"""
+    SELECT '{BASE}customer/c_custkey=' || CAST(c.c_custkey AS VARCHAR) AS cust,
+           c.c_name AS name,
+           coalesce('{BASE}orders/o_orderkey=' || CAST(o.o_orderkey AS VARCHAR),
+                    '(unbound)') AS urgent
+    FROM customer c
+    LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+           ON o.o_custkey = c.c_custkey
+    """,
+)
+def store_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL OPTIONAL (algebra.optional) over the virtual DM store:
+
+        { ?c customer#c_name ?nm }
+        OPTIONAL { ?o orders#ref-o_custkey ?c .
+                   ?o orders#o_orderpriority ?pr . FILTER(?pr = '1-URGENT') }
+
+    A left-outer equi-join on the shared variable's full term struct —
+    customers with no urgent order survive with ?o unbound (203 of 1500 at
+    sf0.01). The DuckDB twin is the relational LEFT JOIN; unbound is
+    surfaced as the literal '(unbound)' in BOTH engines so the value hash
+    covers the null positions instead of skipping them."""
+    from p5_rdf_rdb2rdf_spark import algebra as A
+    from p5_rdf_rdb2rdf_spark.store import DirectMappingStore
+
+    tables = _load(spark, sf_dir, ["customer", "orders"])
+    store = DirectMappingStore(
+        spark,
+        {t: tables[t] for t in ("customer", "orders")},
+        TPCH_CONSTRAINTS,
+        base=BASE,
+    )
+    left = store.bgp([("?c", f"{BASE}customer#c_name", "?nm")])
+    right = store.bgp(
+        [
+            ("?o", f"{BASE}orders#ref-o_custkey", "?c"),
+            ("?o", f"{BASE}orders#o_orderpriority", "?pr"),
+        ]
+    )
+    right = A.filter_solutions(right, A.var_value("pr") == "1-URGENT")
+    sol = A.optional(left, A.project(right, "o", "c"))
+    return sol.select(
+        F.col("c.value").alias("cust"),
+        F.col("nm.value").alias("name"),
+        F.coalesce(F.col("o.value"), F.lit("(unbound)")).alias("urgent"),
+    )
+
+
+@_q(
+    "store_union_filter",
+    f"""
+    SELECT '{BASE}nation/n_nationkey=' || CAST(n_nationkey AS VARCHAR) AS node,
+           n_name AS name
+    FROM nation WHERE n_name < 'M'
+    UNION ALL
+    SELECT '{BASE}region/r_regionkey=' || CAST(r_regionkey AS VARCHAR) AS node,
+           r_name AS name
+    FROM region WHERE r_name < 'M'
+    """,
+)
+def store_union_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL UNION + FILTER (algebra.union / filter_solutions):
+
+        { ?x nation#n_name ?name } UNION { ?x region#r_name ?name }
+        FILTER(STR(?name) < 'M')
+
+    Bag union of two independently-pruned BGP frames (zero-shuffle
+    unionByName) with the filter applied above the union — Catalyst pushes
+    it back into both pruned scans (each branch's parquet scan carries the
+    pushed predicate). The DuckDB twin is the relational UNION ALL with
+    the WHERE in each branch."""
+    from p5_rdf_rdb2rdf_spark import algebra as A
+    from p5_rdf_rdb2rdf_spark.store import DirectMappingStore
+
+    tables = _load(spark, sf_dir, ["nation", "region"])
+    store = DirectMappingStore(
+        spark,
+        {t: tables[t] for t in ("nation", "region")},
+        TPCH_CONSTRAINTS,
+        base=BASE,
+    )
+    u = A.union(
+        store.bgp([("?x", f"{BASE}nation#n_name", "?name")]),
+        store.bgp([("?x", f"{BASE}region#r_name", "?name")]),
+    )
+    out = A.filter_solutions(u, A.var_value("name") < "M")
+    return out.select(
+        F.col("x.value").alias("node"), F.col("name.value").alias("name")
+    )
+
+
+@_q(
+    "kg_validate_shapes",
+    f"""
+    WITH ord_cnt AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS n
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT '{BASE}customer/c_custkey=' || CAST(c_custkey AS VARCHAR) AS focus,
+           'cust-min-orders' AS shape_id, 'minCount' AS violation,
+           CAST(n AS VARCHAR) AS detail
+    FROM ord_cnt WHERE n < 3
+    UNION ALL
+    SELECT '{BASE}customer/c_custkey=' || CAST(c_custkey AS VARCHAR),
+           'cust-name-format', 'pattern', c_name
+    FROM customer WHERE NOT regexp_matches(c_name, '^Customer#00000000[0-9]$')
+    UNION ALL
+    SELECT '{BASE}customer/c_custkey=' || CAST(c_custkey AS VARCHAR),
+           'cust-balance-nonneg', 'minValue', printf('%.2f', c_acctbal)
+    FROM customer WHERE c_acctbal < 0
+    """,
+)
+def kg_validate_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL-lite validation (ops.validate) over the Direct-Mapped graph of
+    customer+orders — five shapes, three of which fire:
+
+    - cust-min-orders: every Customer has >= 3 Orders (inverse path over
+      the FK edge; violations carry the observed count);
+    - cust-name-format: c_name matches ^Customer#00000000[0-9]$ (every
+      custkey >= 10 violates — pins pattern + per-value semantics);
+    - cust-balance-nonneg: sh:minInclusive 0 on c_acctbal (negative
+      balances violate);
+    - order-cust-class (sh:class on the FK objects) and cust-one-segment
+      (maxCount 1) hold — zero rows, pinning the no-false-positive side.
+
+    All cardinality shapes share ONE aggregation exchange (plan-asserted in
+    tests/test_validate.py). The minValue detail is re-rendered %.2f in
+    BOTH engines: the graph carries Java shortest-round-trip double
+    lexicals, DuckDB prints its own — a fixed-point format makes the value
+    hash engine-neutral without weakening the check (inputs have <= 2dp)."""
+    from p5_rdf_rdb2rdf_spark.direct_mapping import direct_map
+    from p5_rdf_rdb2rdf_spark.ops.validate import Shape, validate_shapes
+
+    tables = _load(spark, sf_dir, ["customer", "orders"])
+    triples = direct_map(
+        spark,
+        {t: tables[t] for t in ("customer", "orders")},
+        TPCH_CONSTRAINTS,
+        base=BASE,
+    )
+    cust_cls = f"{BASE}customer"
+    v = validate_shapes(
+        triples,
+        [
+            Shape("cust-min-orders", f"{BASE}orders#ref-o_custkey",
+                  inverse=True, focus_class=cust_cls, min_count=3),
+            Shape("cust-name-format", f"{BASE}customer#c_name",
+                  focus_class=cust_cls,
+                  pattern="^Customer#00000000[0-9]$"),
+            Shape("cust-balance-nonneg", f"{BASE}customer#c_acctbal",
+                  focus_class=cust_cls, min_value=0.0),
+            Shape("order-cust-class", f"{BASE}orders#ref-o_custkey",
+                  object_class=cust_cls),
+            Shape("cust-one-segment", f"{BASE}customer#c_mktsegment",
+                  focus_class=cust_cls, max_count=1),
+        ],
+    )
+    return v.withColumn(
+        "detail",
+        F.when(
+            F.col("violation") == "minValue",
+            F.format_string("%.2f", F.col("detail").try_cast("double")),
+        ).otherwise(F.col("detail")),
+    )
+
+
 # --- W3C conformance-style cases through the driver contract ----------------
 # (tests/test_w3c_cases.py holds the full spec corpus; these three expose the
 # composite-PK, IRI-encoding, language-tag and named-graph constructs to the

@@ -1,0 +1,195 @@
+"""SPARQL-algebra operators over BGP solution frames.
+
+:func:`p5_rdf_rdb2rdf_spark.store.match_bgp` answers a conjunctive basic
+graph pattern with a *solution frame*: one row per solution, one
+``struct<kind,value,datatype,lang>`` column per variable (full RDF term
+identity). This module adds the algebra the reference's consumers reach
+for next — OPTIONAL (left join), UNION, FILTER, projection/DISTINCT — as
+compositions over those frames, so a constructed KG can be *queried*, not
+just serialized. The reference (CPAN RDF-RDB2RDF, SURVEY.md §4.3) hands
+its Store to RDF::Trine, whose ``RDF::Trine::Store::DBI`` answers exactly
+this algebra subset SQL-side; re-expressing it over Spark DataFrames is
+the same layering: every operator stays a Catalyst-visible relational op
+(left outer equi-join, union-all, predicate filter), so pushdown, AQE
+broadcast, and whole-stage codegen all apply — nothing here adds a Python
+boundary or a driver-side loop.
+
+Scale notes (the 10^12-triple read):
+
+- ``optional`` is a LEFT OUTER **equi-join** on the shared variables'
+  full term structs. SPARQL's general LeftJoin compatibility ("unbound is
+  compatible with anything") is NOT an equi-join and degenerates to a
+  nested loop at scale; this implementation targets *well-designed*
+  patterns (Pérez, Arenas, Gutierrez, "Semantics and Complexity of
+  SPARQL", TODS 2009: every variable shared between an OPTIONAL's inside
+  and outside also occurs in the outer required part — the overwhelmingly
+  common case, and the one where strict equality IS the SPARQL
+  semantics). Nesting OPTIONALs so that a shared variable may arrive
+  *unbound* from the left (non-well-designed) is rejected at runtime when
+  detectable statically (a shared var that only exists on the left via a
+  previous ``optional``) — see ``_optional_vars`` tracking.
+- ``union`` is a bag-semantics ``unionByName(allowMissingColumns=True)``;
+  variables absent from one branch surface as NULL structs (SPARQL
+  unbound). No shuffle.
+- ``filter_solutions`` takes a Spark Column; SPARQL's error semantics
+  (evaluation error ⇒ solution eliminated) coincide with SQL's
+  NULL-predicate-drops-row once term accessors return NULL on kind/type
+  mismatch — which the accessors below do via conditional casts. Filters
+  over values compile to plain predicates Catalyst can push through the
+  joins above them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .terms import KIND_BLANK, KIND_IRI, KIND_LITERAL
+
+__all__ = [
+    "optional",
+    "union",
+    "filter_solutions",
+    "project",
+    "distinct_solutions",
+    "var_value",
+    "var_num",
+    "var_lang",
+    "var_datatype",
+    "is_iri",
+    "is_literal",
+    "is_blank",
+    "bound",
+]
+
+
+# --- term accessors (SPARQL builtins over the term struct) -----------------
+
+
+def var_value(name: str) -> Column:
+    """``STR(?name)`` — the lexical form / IRI string (NULL if unbound)."""
+    return F.col(name).getField("value")
+
+
+def var_num(name: str) -> Column:
+    """Numeric value of ``?name``: the lexical form cast to double, NULL
+    (⇒ SPARQL type error ⇒ solution eliminated under FILTER) when the term
+    is not a literal or its lexical form is not numeric. ``try_cast`` (not
+    ``cast``: under Spark 4's ANSI default a malformed cast RAISES) yields
+    NULL on garbage, which is exactly SPARQL's error-eliminates-solution."""
+    t = F.col(name)
+    return F.when(
+        t.getField("kind") == KIND_LITERAL,
+        t.getField("value").try_cast("double"),
+    )
+
+
+def var_lang(name: str) -> Column:
+    """``LANG(?name)`` — '' for a plain/typed literal, NULL if not a
+    literal (SPARQL raises a type error; NULL propagates the same way)."""
+    t = F.col(name)
+    return F.when(
+        t.getField("kind") == KIND_LITERAL,
+        F.coalesce(t.getField("lang"), F.lit("")),
+    )
+
+
+def var_datatype(name: str) -> Column:
+    """``DATATYPE(?name)`` — the datatype IRI (NULL for non-literals)."""
+    return F.col(name).getField("datatype")
+
+
+def is_iri(name: str) -> Column:
+    return F.col(name).getField("kind") == KIND_IRI
+
+
+def is_literal(name: str) -> Column:
+    return F.col(name).getField("kind") == KIND_LITERAL
+
+
+def is_blank(name: str) -> Column:
+    return F.col(name).getField("kind") == KIND_BLANK
+
+
+def bound(name: str) -> Column:
+    """``BOUND(?name)`` — false on the NULL struct a failed OPTIONAL or a
+    branch-missing UNION variable leaves behind."""
+    return F.col(name).isNotNull()
+
+
+# --- algebra operators ------------------------------------------------------
+
+
+def optional(left: DataFrame, right: DataFrame) -> DataFrame:
+    """SPARQL ``OPTIONAL`` (LeftJoin) for well-designed patterns.
+
+    ``left`` and ``right`` are solution frames; the join key is the set of
+    variables they share, compared on FULL term identity (the whole
+    ``struct<kind,value,datatype,lang>``) so a literal never matches an
+    IRI sharing its lexical form. Left solutions with no compatible right
+    solution survive with the right-only variables unbound (NULL structs).
+    With no shared variables, SPARQL LeftJoin degenerates to
+    left-cross-join-right-or-keep-left, which is exactly a left join on
+    TRUE.
+
+    Strict-equality joins implement SPARQL compatibility ONLY when the
+    shared variables are guaranteed bound on both sides — true for frames
+    straight out of ``match_bgp`` (stored triples have no NULL terms) and
+    preserved by ``filter_solutions``/``project``. A left frame whose
+    shared variable may be NULL (it came through a previous ``optional``
+    or a variable-misaligned ``union``) is non-well-designed territory:
+    rather than silently returning SQL semantics (NULL joins nothing) for
+    SPARQL semantics (unbound joins everything), this refuses when the
+    shared column is nullable in the schema.
+    """
+    shared = sorted(set(left.columns) & set(right.columns))
+    for v in shared:
+        fld = left.schema[v]
+        if fld.nullable:
+            raise ValueError(
+                f"optional(): shared variable ?{v} may be unbound on the "
+                "left (it was introduced by a previous optional/union); "
+                "this non-well-designed pattern has no equi-join plan — "
+                "restructure the query so ?{v} is bound by the required "
+                "part".replace("{v}", v)
+            )
+    if not shared:
+        return left.join(right, F.lit(True), "left")
+    rr = right
+    for v in shared:
+        rr = rr.withColumnRenamed(v, f"__r_{v}")
+    cond = None
+    for v in shared:
+        eq = F.col(v) == F.col(f"__r_{v}")
+        cond = eq if cond is None else (cond & eq)
+    out = left.join(rr, cond, "left")
+    return out.drop(*[f"__r_{v}" for v in shared])
+
+
+def union(a: DataFrame, b: DataFrame) -> DataFrame:
+    """SPARQL ``UNION``: bag union of two solution frames. Variables
+    present in only one branch come through as NULL structs (unbound) in
+    the other branch's rows — ``unionByName`` with missing-column fill,
+    a zero-shuffle concatenation."""
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+def filter_solutions(df: DataFrame, condition: Column) -> DataFrame:
+    """SPARQL ``FILTER``: keep solutions where ``condition`` is true.
+    Build conditions from the accessors above (``var_num('x') > 5``,
+    ``is_iri('s')``, ``var_value('n').rlike(...)``); a NULL condition
+    (SPARQL evaluation error) eliminates the solution, matching the spec's
+    error semantics without any special-casing."""
+    return df.where(condition)
+
+
+def project(df: DataFrame, *names: str) -> DataFrame:
+    """SPARQL ``SELECT ?a ?b`` projection (column pruning — free)."""
+    return df.select(*names)
+
+
+def distinct_solutions(df: DataFrame) -> DataFrame:
+    """SPARQL ``SELECT DISTINCT``: set semantics over full term identity
+    (one hash exchange on the projected struct columns; run AFTER
+    ``project`` so only surviving variables shuffle)."""
+    return df.distinct()

@@ -1,0 +1,279 @@
+"""SHACL-lite shape validation over a triples DataFrame (KG quality gate).
+
+A constructed KG is only as useful as it is *sound*; production KG
+pipelines run shape validation (W3C SHACL) between construction and
+publication. This module implements the SHACL core-constraint subset that
+covers the overwhelming majority of real shapes — cardinality
+(sh:minCount/sh:maxCount over a forward or inverse predicate path),
+value-node constraints (sh:datatype, sh:nodeKind, sh:pattern,
+sh:minInclusive/sh:maxInclusive on numeric lexicals) and sh:class — as
+Spark-native relational plans over the engine's 8-column triple frame.
+No SPARQL-based constraints, no property paths beyond ``p``/``^p``, no
+recursion: "lite", honestly scoped.
+
+Reference parity: the CPAN reference has no validator (it stops at
+construction); this is beyond-reference capability in the same category
+as the LLM-data operators, motivated by the kg_construct tier.
+
+Scale design — the part that matters at 10^12 triples:
+
+- **All cardinality shapes share ONE aggregation exchange.** Every
+  min/max-count shape projects its (shape_id, focus) occurrence pairs out
+  of a single predicate-filtered pass, the union is aggregated by
+  (shape_id, focus) once (map-side partial counts), and target universes
+  join against that one counted frame. K shapes do not cost K shuffles.
+- **Value constraints never shuffle at all.** datatype / nodeKind /
+  pattern / numeric-bound checks are pure Column predicates on the
+  predicate-pruned scan (predicate-bucketed GraphTables prune to one
+  bucket per shape); violations stream straight out of the scan.
+- **sh:class is a broadcastable anti-join**: class-membership frames are
+  `(rdf:type, class)`-filtered — tiny relative to the graph — and AQE
+  broadcasts them under the threshold.
+- Numeric bounds use ``try_cast`` (ANSI-safe): a non-numeric lexical is a
+  *datatype problem*, not a bound violation, so it only surfaces when the
+  shape also declares ``datatype=``/``pattern=`` — same separation SHACL
+  itself makes between sh:datatype and sh:minInclusive.
+
+SHACL semantics kept exactly: value constraints apply **per value node**
+(a focus node with zero values satisfies them vacuously — absence is
+minCount's job); cardinality counts are over the focus node's value set
+in the data graph; every violation row identifies (focus, shape,
+component, offending value / observed count).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..terms import RDF_TYPE
+
+__all__ = ["Shape", "validate_shapes"]
+
+_KINDS = ("iri", "literal", "blank")
+
+
+@dataclass(frozen=True)
+class Shape:
+    """One property shape: constraints on the values of ``predicate`` at
+    each focus node.
+
+    ``focus_class`` is ``sh:targetClass`` (focus = instances, i.e.
+    subjects of ``rdf:type focus_class`` triples); ``None`` targets every
+    subject in the graph. ``inverse=True`` makes the path ``^predicate``
+    (focus = the triple's object; values = its subjects) — the idiomatic
+    way to say "every Customer has ≥ N Orders" when the FK edge points
+    order→customer."""
+
+    shape_id: str
+    predicate: str
+    inverse: bool = False
+    focus_class: str | None = None
+    min_count: int | None = None
+    max_count: int | None = None
+    datatype: str | None = None
+    node_kind: str | None = None  # 'iri' | 'literal' | 'blank'
+    pattern: str | None = None  # regex over the value's lexical form
+    min_value: float | None = None  # sh:minInclusive (numeric lexicals)
+    max_value: float | None = None  # sh:maxInclusive
+    object_class: str | None = None  # sh:class on the value nodes
+
+    def __post_init__(self) -> None:
+        if self.node_kind is not None and self.node_kind not in _KINDS:
+            raise ValueError(f"node_kind must be one of {_KINDS}")
+        if self.min_count is not None and self.min_count < 0:
+            raise ValueError("min_count must be >= 0")
+        if self.max_count is not None and self.max_count < 0:
+            raise ValueError("max_count must be >= 0")
+        has_any = any(
+            v is not None
+            for v in (
+                self.min_count,
+                self.max_count,
+                self.datatype,
+                self.node_kind,
+                self.pattern,
+                self.min_value,
+                self.max_value,
+                self.object_class,
+            )
+        )
+        if not has_any:
+            raise ValueError(f"shape {self.shape_id!r} declares no constraint")
+
+
+def _viol(focus, shape_id: str, component: str, detail) -> list:
+    return [
+        focus.alias("focus"),
+        F.lit(shape_id).alias("shape_id"),
+        F.lit(component).alias("violation"),
+        detail.cast("string").alias("detail"),
+    ]
+
+
+def validate_shapes(triples: DataFrame, shapes: list[Shape]) -> DataFrame:
+    """Validate ``shapes`` against ``triples``; return the violations frame
+    ``(focus string, shape_id string, violation string, detail string)``
+    — empty ⇔ conformant. ``violation`` names the SHACL component
+    (minCount/maxCount/datatype/nodeKind/pattern/minValue/maxValue/class);
+    ``detail`` carries the observed count (cardinality) or the offending
+    value's lexical form (value constraints)."""
+    if not shapes:
+        raise ValueError("validate_shapes requires at least one shape")
+    seen: set[str] = set()
+    for sh in shapes:
+        if sh.shape_id in seen:
+            raise ValueError(f"duplicate shape_id {sh.shape_id!r}")
+        seen.add(sh.shape_id)
+
+    out: list[DataFrame] = []
+
+    def path_frame(sh: Shape) -> DataFrame:
+        """(focus, value-term columns) pairs for the shape's path."""
+        t = triples.where(F.col("p_value") == sh.predicate)
+        if sh.inverse:
+            # values of ^p at focus o are the subjects; subjects are
+            # IRIs/blanks — no datatype/lang
+            return t.select(
+                F.col("o_value").alias("focus"),
+                F.col("s_kind").alias("v_kind"),
+                F.col("s_value").alias("v_value"),
+                F.lit(None).cast("string").alias("v_datatype"),
+            )
+        return t.select(
+            F.col("s_value").alias("focus"),
+            F.col("o_kind").alias("v_kind"),
+            F.col("o_value").alias("v_value"),
+            F.col("o_datatype").alias("v_datatype"),
+        )
+
+    def targets(sh: Shape) -> DataFrame:
+        if sh.focus_class is not None:
+            t = triples.where(
+                (F.col("p_value") == RDF_TYPE)
+                & (F.col("o_value") == sh.focus_class)
+            )
+            return t.select(F.col("s_value").alias("focus")).distinct()
+        return triples.select(F.col("s_value").alias("focus")).distinct()
+
+    # --- cardinality: one shared aggregation exchange for every shape ---
+    card = [s for s in shapes if s.min_count is not None or s.max_count is not None]
+    if card:
+        occ = reduce(
+            DataFrame.unionByName,
+            [
+                path_frame(sh).select(
+                    F.lit(sh.shape_id).alias("shape_id"), "focus"
+                )
+                for sh in card
+            ],
+        )
+        counts = occ.groupBy("shape_id", "focus").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        tgt = reduce(
+            DataFrame.unionByName,
+            [
+                targets(sh).select(F.lit(sh.shape_id).alias("shape_id"), "focus")
+                for sh in card
+            ],
+        )
+        counted = tgt.join(counts, ["shape_id", "focus"], "left").withColumn(
+            "n", F.coalesce(F.col("n"), F.lit(0))
+        )
+        # one filter+projection over the ONE counted frame for every shape:
+        # per-shape bounds ride literal lookup maps, so Catalyst never
+        # replicates the aggregation subtree per shape (a missing bound is
+        # a NULL map lookup -> NULL comparison -> row not selected)
+        def bound_lookup(attr: str):
+            entries = [
+                lit
+                for sh in card
+                if getattr(sh, attr) is not None
+                for lit in (F.lit(sh.shape_id), F.lit(getattr(sh, attr)))
+            ]
+            if not entries:  # no shape declares this bound: typed NULL
+                return F.lit(None).cast("int")
+            return F.create_map(*entries)[F.col("shape_id")]
+
+        lo, hi = bound_lookup("min_count"), bound_lookup("max_count")
+        under = F.col("n") < lo
+        over = F.col("n") > hi
+        out.append(
+            counted.where(
+                F.coalesce(under, F.lit(False)) | F.coalesce(over, F.lit(False))
+            ).select(
+                F.col("focus"),
+                F.col("shape_id"),
+                F.when(F.coalesce(under, F.lit(False)), F.lit("minCount"))
+                .otherwise(F.lit("maxCount"))
+                .alias("violation"),
+                F.col("n").cast("string").alias("detail"),
+            )
+        )
+
+    # --- per-value constraints: pure predicates on the pruned scan ---
+    for sh in shapes:
+        vals = None
+
+        def v():
+            nonlocal vals
+            if vals is None:
+                vals = path_frame(sh)
+                if sh.focus_class is not None:
+                    # restrict to targeted focus nodes (broadcastable join:
+                    # the class-membership frame is tiny vs the graph)
+                    vals = vals.join(targets(sh), "focus", "left_semi")
+            return vals
+
+        if sh.datatype is not None:
+            out.append(
+                v()
+                .where(
+                    (F.col("v_kind") != "literal")
+                    | ~F.col("v_datatype").eqNullSafe(F.lit(sh.datatype))
+                )
+                .select(*_viol(F.col("focus"), sh.shape_id, "datatype", F.col("v_value")))
+            )
+        if sh.node_kind is not None:
+            out.append(
+                v()
+                .where(F.col("v_kind") != sh.node_kind)
+                .select(*_viol(F.col("focus"), sh.shape_id, "nodeKind", F.col("v_value")))
+            )
+        if sh.pattern is not None:
+            out.append(
+                v()
+                .where(~F.col("v_value").rlike(sh.pattern))
+                .select(*_viol(F.col("focus"), sh.shape_id, "pattern", F.col("v_value")))
+            )
+        if sh.min_value is not None or sh.max_value is not None:
+            num = F.col("v_value").try_cast("double")
+            cond = F.lit(False)
+            if sh.min_value is not None:
+                cond = cond | (num < sh.min_value)
+            if sh.max_value is not None:
+                cond = cond | (num > sh.max_value)
+            comp = "minValue" if sh.min_value is not None else "maxValue"
+            # a NULL cast (non-numeric lexical) is datatype's concern, not
+            # a bound violation: NULL comparison is NULL -> row not kept
+            out.append(
+                v()
+                .where(cond)
+                .select(*_viol(F.col("focus"), sh.shape_id, comp, F.col("v_value")))
+            )
+        if sh.object_class is not None:
+            members = triples.where(
+                (F.col("p_value") == RDF_TYPE)
+                & (F.col("o_value") == sh.object_class)
+            ).select(F.col("s_value").alias("v_value")).distinct()
+            out.append(
+                v()
+                .join(members, "v_value", "left_anti")
+                .select(*_viol(F.col("focus"), sh.shape_id, "class", F.col("v_value")))
+            )
+
+    return reduce(DataFrame.unionByName, out)
