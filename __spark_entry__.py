@@ -1026,6 +1026,64 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "graph_reachability",
+    f"""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT src, dst FROM ({_EDGES_SQL})
+    ),
+    r(src, dst) AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src
+    )
+    SELECT src, dst FROM r
+    """,
+)
+def graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure (ops.graph.transitive_closure — the relational
+    answer to a SPARQL p+ path / taxonomy-ancestor expansion) of the
+    derived deterministic graph: PATH-DOUBLING (each round self-joins the
+    distinct reachability pairs, so depth D closes in log2(D) rounds),
+    never the enumerate-every-path loop. The DuckDB twin is the textbook
+    single-step recursive CTE — green proves the doubling decomposition
+    equals the one-hop fixpoint semantics exactly."""
+    from p5_rdf_rdb2rdf_spark.ops.graph import transitive_closure
+
+    return transitive_closure(_derived_edges(spark, sf_dir))
+
+
+@_q(
+    "graph_components",
+    f"""
+    WITH RECURSIVE e0 AS (
+      SELECT DISTINCT src, dst FROM ({_EDGES_SQL})
+    ),
+    ue AS (
+      SELECT src AS u, dst AS v FROM e0 UNION SELECT dst, src FROM e0
+    ),
+    nodes AS (SELECT DISTINCT u AS n FROM ue),
+    r(a, b) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT r.a, ue.v FROM r JOIN ue ON r.b = ue.u
+    )
+    SELECT a AS node, min(b) AS component FROM r GROUP BY a
+    """,
+)
+def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (pipeline.cc — the kernel behind near-dup
+    cluster canonicalization and entity canonicalization) over the derived
+    graph, undirected, min-member labels. The DuckDB twin computes each
+    node's minimum reachable node via a recursive CTE over the
+    symmetrized edges — exactly the label-propagation fixpoint the
+    distributed kernel converges to. Previously pinned only by pytest
+    union-find twins; this puts the kernel itself under the driver gate."""
+    from p5_rdf_rdb2rdf_spark.pipeline.cc import connected_components
+
+    return connected_components(_derived_edges(spark, sf_dir))
+
+
+@_q(
     "ann_threshold_search",
     """
     SELECT q.vec_id AS query_id, c.vec_id
@@ -2063,6 +2121,90 @@ def kg_validate_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.format_string("%.2f", F.col("detail").try_cast("double")),
         ).otherwise(F.col("detail")),
     )
+
+
+@_q(
+    "store_not_exists",
+    f"""
+    SELECT '{BASE}customer/c_custkey=' || CAST(c.c_custkey AS VARCHAR) AS cust,
+           c.c_name AS name
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def store_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL FILTER NOT EXISTS (algebra.not_exists) — customers with NO
+    urgent order (203 of 1500 at sf0.01): a LEFT ANTI equi-join on the
+    shared variable's full term struct, the exact complement of
+    `store_optional`'s unmatched rows. The DuckDB twin is the relational
+    NOT EXISTS."""
+    from p5_rdf_rdb2rdf_spark import algebra as A
+    from p5_rdf_rdb2rdf_spark.store import DirectMappingStore
+
+    tables = _load(spark, sf_dir, ["customer", "orders"])
+    store = DirectMappingStore(
+        spark,
+        {t: tables[t] for t in ("customer", "orders")},
+        TPCH_CONSTRAINTS,
+        base=BASE,
+    )
+    left = store.bgp([("?c", f"{BASE}customer#c_name", "?nm")])
+    right = store.bgp(
+        [
+            ("?o", f"{BASE}orders#ref-o_custkey", "?c"),
+            ("?o", f"{BASE}orders#o_orderpriority", "?pr"),
+        ]
+    )
+    right = A.filter_solutions(right, A.var_value("pr") == "1-URGENT")
+    sol = A.not_exists(left, A.project(right, "c"))
+    return sol.select(
+        F.col("c.value").alias("cust"), F.col("nm.value").alias("name")
+    )
+
+
+@_q(
+    "store_construct",
+    f"""
+    SELECT '{BASE}customer/c_custkey=' || CAST(c_custkey AS VARCHAR) AS s_value,
+           '{BASE}derived#memberOf' AS p_value,
+           '{BASE}nation/n_nationkey=' || CAST(c_nationkey AS VARCHAR) AS o_value
+    FROM customer
+    UNION
+    SELECT '{BASE}nation/n_nationkey=' || CAST(c_nationkey AS VARCHAR),
+           '{BASE}derived#hasMember',
+           '{BASE}customer/c_custkey=' || CAST(c_custkey AS VARCHAR)
+    FROM customer
+    """,
+)
+def store_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL CONSTRUCT (algebra.construct): derive a new symmetric
+    membership edge pair from the FK BGP — the KG-construction move of
+    turning matched patterns back into graph. Two templates instantiate
+    per solution (forward memberOf, inverse hasMember with a constant
+    predicate each); output is a DISTINCT triple set. The DuckDB twin is
+    the relational UNION (set semantics = CONSTRUCT's graph-is-a-set)."""
+    from p5_rdf_rdb2rdf_spark import algebra as A
+    from p5_rdf_rdb2rdf_spark.store import DirectMappingStore
+
+    tables = _load(spark, sf_dir, ["customer", "nation"])
+    store = DirectMappingStore(
+        spark,
+        {t: tables[t] for t in ("customer", "nation")},
+        TPCH_CONSTRAINTS,
+        base=BASE,
+    )
+    sol = store.bgp([("?c", f"{BASE}customer#ref-c_nationkey", "?n")])
+    g = A.construct(
+        sol,
+        [
+            ("?c", f"{BASE}derived#memberOf", "?n"),
+            ("?n", f"{BASE}derived#hasMember", "?c"),
+        ],
+    )
+    return g.select("s_value", "p_value", "o_value")
 
 
 # --- W3C conformance-style cases through the driver contract ----------------

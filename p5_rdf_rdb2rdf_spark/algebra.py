@@ -52,6 +52,10 @@ __all__ = [
     "filter_solutions",
     "project",
     "distinct_solutions",
+    "path_closure",
+    "not_exists",
+    "minus",
+    "construct",
     "var_value",
     "var_num",
     "var_lang",
@@ -193,3 +197,141 @@ def distinct_solutions(df: DataFrame) -> DataFrame:
     (one hash exchange on the projected struct columns; run AFTER
     ``project`` so only surviving variables shuffle)."""
     return df.distinct()
+
+
+def path_closure(store, predicate: str, max_iter: int = 20) -> DataFrame:
+    """SPARQL ``?s <p>+ ?o`` — one-or-more property path over a single
+    predicate: the transitive closure of that predicate's edge set
+    (``ops.graph.transitive_closure``, path-doubling — log-depth rounds).
+
+    Nodes join on FULL term identity (kind+value+datatype+lang structs),
+    so a literal sharing an IRI's lexical form never bridges two paths; a
+    literal object is a valid path ENDPOINT but never extends (no triple
+    has a literal subject — the join finds no continuation), which is
+    exactly the ``p+`` semantics. Returns the triple-frame projection
+    ``(s_kind, s_value, o_kind, o_value, o_datatype, o_lang)`` of every
+    reachability pair. Same scale caveat as ``transitive_closure``: meant
+    for hierarchy-shaped predicates (subClassOf/broader/partOf)."""
+    from .ops.graph import transitive_closure
+
+    t = store.get_statements(p=predicate)
+    edges = t.select(
+        F.struct(
+            F.col("s_kind").alias("kind"),
+            F.col("s_value").alias("value"),
+            F.lit(None).cast("string").alias("datatype"),
+            F.lit(None).cast("string").alias("lang"),
+        ).alias("src"),
+        F.struct(
+            F.col("o_kind").alias("kind"),
+            F.col("o_value").alias("value"),
+            F.col("o_datatype").alias("datatype"),
+            F.col("o_lang").alias("lang"),
+        ).alias("dst"),
+    )
+    pairs = transitive_closure(edges, max_iter=max_iter)
+    return pairs.select(
+        F.col("src.kind").alias("s_kind"),
+        F.col("src.value").alias("s_value"),
+        F.col("dst.kind").alias("o_kind"),
+        F.col("dst.value").alias("o_value"),
+        F.col("dst.datatype").alias("o_datatype"),
+        F.col("dst.lang").alias("o_lang"),
+    )
+
+
+def not_exists(left: DataFrame, right: DataFrame) -> DataFrame:
+    """SPARQL ``FILTER NOT EXISTS { ... }``: keep left solutions with NO
+    compatible right solution — a LEFT ANTI equi-join on the shared
+    variables' full term structs (the well-designed regime, same
+    restriction and nullability refusal as :func:`optional`). With no
+    shared variables the pattern's mere non-emptiness eliminates
+    everything: a left anti join on TRUE."""
+    shared = sorted(set(left.columns) & set(right.columns))
+    for v in shared:
+        if left.schema[v].nullable:
+            raise ValueError(
+                f"not_exists(): shared variable ?{v} may be unbound on the "
+                "left (introduced by a previous optional/union); no "
+                "equi-join plan exists for the non-well-designed case"
+            )
+    if not shared:
+        return left.join(right, F.lit(True), "left_anti")
+    rr = right.select([F.col(v).alias(f"__r_{v}") for v in shared])
+    cond = None
+    for v in shared:
+        eq = F.col(v) == F.col(f"__r_{v}")
+        cond = eq if cond is None else (cond & eq)
+    return left.join(rr, cond, "left_anti")
+
+
+def minus(left: DataFrame, right: DataFrame) -> DataFrame:
+    """SPARQL ``MINUS``: remove left solutions compatible with some right
+    solution that SHARES at least one variable. Differs from
+    :func:`not_exists` exactly where the spec differs: with NO shared
+    variables MINUS removes nothing (every pair is vacuously compatible,
+    and the spec keeps such solutions), while NOT EXISTS removes
+    everything when the right side is non-empty."""
+    shared = sorted(set(left.columns) & set(right.columns))
+    if not shared:
+        return left
+    return not_exists(left, right)
+
+
+def construct(
+    solutions: DataFrame,
+    patterns: "list[tuple[str, str, str]]",
+) -> DataFrame:
+    """SPARQL ``CONSTRUCT``: instantiate triple templates from a solution
+    frame — the algebra's write side, turning query answers back into
+    graph (the KG-construction move: derive new edges from matched
+    patterns). Each template term is ``?var`` (a solution column) or a
+    constant IRI string. Emits the engine's 8-column triple frame,
+    DISTINCT (CONSTRUCT graphs are sets), skipping instances where any
+    template variable is unbound or where an illegal term lands in a
+    subject/predicate position (a literal subject, a non-IRI predicate) —
+    both per the spec. One union of per-template projections + the one
+    set-semantics exchange; no Python."""
+    outs = []
+    for s, p, o in patterns:
+        def term(t: str):
+            """(kind, value, datatype, lang, legality-conds) — legality
+            conds stay Python-side for constants (always IRIs, statically
+            legal everywhere) so no trivially-true Column predicates land
+            in the plan."""
+            if t.startswith("?"):
+                c = F.col(t[1:])
+                return (
+                    c.getField("kind"),
+                    c.getField("value"),
+                    c.getField("datatype"),
+                    c.getField("lang"),
+                    [c.isNotNull()],
+                )
+            return (F.lit(KIND_IRI), F.lit(t),
+                    F.lit(None).cast("string"), F.lit(None).cast("string"),
+                    [])
+        sk, sv, _, _, s_conds = term(s)
+        pk, pv, _, _, p_conds = term(p)
+        ok, ov, od, ol, o_conds = term(o)
+        conds = s_conds + p_conds + o_conds
+        if s.startswith("?"):
+            conds.append(sk != KIND_LITERAL)  # no literal subjects
+        if p.startswith("?"):
+            conds.append(pk == KIND_IRI)  # predicates are IRIs
+        legal = conds[0] if conds else F.lit(True)
+        for c in conds[1:]:
+            legal = legal & c
+        outs.append(
+            solutions.where(legal).select(
+                sk.alias("s_kind"), sv.alias("s_value"),
+                pv.alias("p_value"),
+                ok.alias("o_kind"), ov.alias("o_value"),
+                od.alias("o_datatype"), ol.alias("o_lang"),
+                F.lit(None).cast("string").alias("g_value"),
+            )
+        )
+    if not outs:
+        raise ValueError("construct requires at least one template pattern")
+    from functools import reduce
+    return reduce(DataFrame.unionByName, outs).distinct()

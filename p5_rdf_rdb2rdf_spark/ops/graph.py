@@ -234,3 +234,68 @@ def pagerank(
         if tol is not None and obs.get["delta"] <= tol:
             break
     return ranks.select("node", "rank")
+
+
+def transitive_closure(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Transitive closure of a directed edge set -> distinct (src, dst)
+    reachability pairs (path length >= 1). The relational answer to a
+    SPARQL ``p+`` property path and to KG taxonomy/ancestor expansion
+    ("every (x, broader+, y)") — the classic post-construction consumer
+    that turns an is-a hierarchy into lookup-ready ancestor pairs.
+
+    Plan: **path doubling**, not single-step extension. Iteration k holds
+    every pair reachable by a path of length <= 2^k; each round self-joins
+    the pair set on ``dst = src`` and unions+distincts, so a hierarchy of
+    depth D closes in ceil(log2 D) rounds — 20 covers depth ~10^6 — with
+    one pair-keyed exchange per round. ``localCheckpoint`` per round cuts
+    the doubling lineage exactly like ``pipeline.cc``; the fixpoint test
+    (did distinct-count stop growing?) rides the checkpoint's own count.
+
+    Scale shape: every intermediate frame is DISTINCT reachability pairs —
+    bounded by the closure's own output size, never path multiplicity
+    (the naive extend-by-one-edge loop enumerates every PATH before
+    distincting; in a DAG with branching that is exponential row volume
+    even when the closure is small). The honest caveat is inherent to the
+    problem, not the plan: a strongly-connected component of n nodes owns
+    n^2 closure pairs. Run this on hierarchy-shaped predicates (rdfs:
+    subClassOf, skos:broader, partOf), not on a social graph — for
+    "which nodes can I reach from these seeds" at social scale, compose
+    ``pipeline.cc`` (undirected) or a seeded frontier BFS instead of
+    materializing all-pairs.
+
+    Raises after ``max_iter`` doublings without a fixpoint rather than
+    silently returning a partial closure.
+    """
+    pairs = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    n = pairs.count()
+    for _ in range(max_iter):
+        if n == 0:
+            return pairs
+        hops = (
+            pairs.alias("a")
+            .join(
+                pairs.alias("b"),
+                F.col("a.dst") == F.col("b.src"),
+                "inner",
+            )
+            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+        )
+        merged = pairs.unionByName(hops).distinct().localCheckpoint()
+        m = merged.count()
+        if m == n:
+            return merged
+        pairs, n = merged, m
+    raise RuntimeError(
+        f"transitive_closure did not converge in {max_iter} doublings "
+        f"(path depth > 2^{max_iter}); raise max_iter"
+    )

@@ -135,3 +135,130 @@ def test_project_distinct(spark):
     assert A.distinct_solutions(A.project(ages, "p")).count() == 3
     doubled = A.union(ages, ages)
     assert A.distinct_solutions(A.project(doubled, "p")).count() == 3
+
+
+# --- property paths (p+) ----------------------------------------------------
+
+
+def test_path_closure_taxonomy(spark):
+    sub = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+    rows = [
+        ("iri", "http://ex/A", sub, "iri", "http://ex/B", None, None, None),
+        ("iri", "http://ex/B", sub, "iri", "http://ex/C", None, None, None),
+        ("iri", "http://ex/C", sub, "iri", "http://ex/D", None, None, None),
+        # unrelated predicate must not participate
+        ("iri", "http://ex/A", "http://p/label", "literal", "a", None, None, None),
+    ]
+    st = TripleStore(spark.createDataFrame(rows, SCHEMA))
+    pairs = {
+        (r["s_value"], r["o_value"])
+        for r in A.path_closure(st, sub).collect()
+    }
+    assert pairs == {
+        ("http://ex/A", "http://ex/B"), ("http://ex/A", "http://ex/C"),
+        ("http://ex/A", "http://ex/D"), ("http://ex/B", "http://ex/C"),
+        ("http://ex/B", "http://ex/D"), ("http://ex/C", "http://ex/D"),
+    }
+
+
+def test_path_closure_literal_never_bridges(spark):
+    """A literal endpoint terminates a path; an IRI sharing its lexical
+    form must not splice two paths together (full term-identity join)."""
+    p = "http://p/next"
+    collide = "http://ex/B"
+    rows = [
+        # A -p-> "http://ex/B" (a LITERAL whose lexical form is B's IRI)
+        ("iri", "http://ex/A", p, "literal", collide, None, None, None),
+        # B (the IRI) -p-> C
+        ("iri", collide, p, "iri", "http://ex/C", None, None, None),
+    ]
+    st = TripleStore(spark.createDataFrame(rows, SCHEMA))
+    pairs = {
+        (r["s_value"], r["o_kind"], r["o_value"])
+        for r in A.path_closure(st, p).collect()
+    }
+    # exactly the two base edges: no A->C splice through the literal
+    assert pairs == {
+        ("http://ex/A", "literal", collide),
+        (collide, "iri", "http://ex/C"),
+    }
+
+
+def test_path_closure_cycle_terminates(spark):
+    p = "http://p/next"
+    rows = [
+        ("iri", "http://ex/A", p, "iri", "http://ex/B", None, None, None),
+        ("iri", "http://ex/B", p, "iri", "http://ex/A", None, None, None),
+    ]
+    st = TripleStore(spark.createDataFrame(rows, SCHEMA))
+    pairs = {
+        (r["s_value"], r["o_value"])
+        for r in A.path_closure(st, p).collect()
+    }
+    assert pairs == {
+        ("http://ex/A", "http://ex/B"), ("http://ex/B", "http://ex/A"),
+        ("http://ex/A", "http://ex/A"), ("http://ex/B", "http://ex/B"),
+    }
+
+
+# --- negation + construct -----------------------------------------------------
+
+
+def test_not_exists_and_minus(spark):
+    st = _store(spark)
+    names = st.bgp([("?p", "http://p/name", "?n")])
+    emails = st.bgp([("?p", "http://p/email", "?e")])
+    # bob + carol have no email
+    no_email = A.not_exists(names, A.project(emails, "p"))
+    assert {r["p"]["value"] for r in no_email.collect()} == {
+        "http://ex/bob", "http://ex/carol"}
+    # MINUS with a shared var behaves the same
+    assert A.minus(names, A.project(emails, "p")).count() == 2
+    # the spec divergence: NO shared vars — NOT EXISTS with a non-empty
+    # pattern removes everything; MINUS removes nothing
+    disjoint = A.project(emails, "e")
+    assert A.not_exists(names, disjoint).count() == 0
+    assert A.minus(names, disjoint).count() == 3
+
+
+def test_not_exists_rejects_nullable_shared(spark):
+    import pytest
+    st = _store(spark)
+    names = st.bgp([("?p", "http://p/name", "?n")])
+    opt = A.optional(names, st.bgp([("?p", "http://p/email", "?e")]))
+    with pytest.raises(ValueError, match="well-designed"):
+        A.not_exists(opt, st.bgp([("?x", "http://p/age", "?e2")]).select(
+            F.col("e2").alias("e")))
+
+
+def test_construct_emits_legal_distinct_triples(spark):
+    st = _store(spark)
+    sol = st.bgp([("?p", "http://p/name", "?n")])
+    out = A.construct(sol, [
+        ("?p", "http://p/displayName", "?n"),
+        ("?p", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         "http://ex/Person"),
+    ])
+    rows = out.collect()
+    assert len(rows) == 6  # 3 names + 3 type triples
+    assert all(r["g_value"] is None for r in rows)
+    names = {(r["s_value"], r["o_value"]) for r in rows
+             if r["p_value"] == "http://p/displayName"}
+    assert ("http://ex/alice", "Alice") in names
+    # distinct: constructing the same template twice adds nothing
+    doubled = A.construct(A.union(sol, sol), [
+        ("?p", "http://p/displayName", "?n")])
+    assert doubled.count() == 3
+
+
+def test_construct_skips_illegal_and_unbound(spark):
+    st = _store(spark)
+    names = st.bgp([("?p", "http://p/name", "?n")])
+    # literal subject position -> skipped entirely
+    assert A.construct(names, [("?n", "http://p/x", "?p")]).count() == 0
+    # non-IRI predicate -> skipped
+    assert A.construct(names, [("?p", "?n", "?p")]).count() == 0
+    # unbound var (from a failed OPTIONAL) -> that instance skipped
+    opt = A.optional(names, st.bgp([("?p", "http://p/email", "?e")]))
+    out = A.construct(opt, [("?p", "http://p/hasEmail", "?e")])
+    assert out.count() == 1  # only alice has an email

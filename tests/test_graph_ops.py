@@ -164,3 +164,55 @@ def test_pagerank_convergence_early_exit(spark):
     cyc = spark.createDataFrame([(i, (i + 1) % 4) for i in range(4)], "src long, dst long")
     r10 = {r.node: r.rank for r in pagerank(cyc, iterations=10).collect()}
     assert abs(sum(r10.values()) - 1.0) < 1e-9
+
+
+# --- transitive closure ------------------------------------------------------
+
+
+def test_transitive_closure_matches_python_fixpoint(spark):
+    """Doubling closure vs a single-step Python fixpoint twin on a
+    deterministic branching DAG + one cycle."""
+    from p5_rdf_rdb2rdf_spark.ops.graph import transitive_closure
+
+    edges = [(i, (i * i + 1) % 23) for i in range(23)]
+    base = set(edges)
+    twin = set(base)
+    while True:
+        nxt = twin | {(a, d) for a, b in twin for c, d in base if b == c}
+        if nxt == twin:
+            break
+        twin = nxt
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {(r.src, r.dst) for r in transitive_closure(df).collect()}
+    assert got == twin
+
+
+def test_transitive_closure_deep_chain_log_rounds(spark):
+    """A 70-deep chain closes within 7 doublings (2^7=128 >= 69) — the
+    log-depth property; the naive one-hop loop would need 69 rounds and
+    max_iter=8 would raise."""
+    from p5_rdf_rdb2rdf_spark.ops.graph import transitive_closure
+
+    n = 70
+    df = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                               "src int, dst int")
+    got = transitive_closure(df, max_iter=8)
+    assert got.count() == n * (n - 1) // 2
+
+
+def test_transitive_closure_nonconvergence_raises(spark):
+    from p5_rdf_rdb2rdf_spark.ops.graph import transitive_closure
+
+    import pytest
+    df = spark.createDataFrame([(i, i + 1) for i in range(9)],
+                               "src int, dst int")
+    # depth 9 needs 2^k >= 9 -> k=4; k=2 must refuse, not truncate
+    with pytest.raises(RuntimeError, match="converge"):
+        transitive_closure(df, max_iter=2)
+
+
+def test_transitive_closure_empty_and_nulls(spark):
+    from p5_rdf_rdb2rdf_spark.ops.graph import transitive_closure
+
+    df = spark.createDataFrame([(1, None), (None, 2)], "src int, dst int")
+    assert transitive_closure(df).count() == 0
