@@ -208,3 +208,57 @@ def test_r6_ops_plan_shapes(spark, tpch):
     p = _plan(packed)
     assert "Window" not in p  # distributed prefix sum, never a global window
     assert "SinglePartition" not in p
+
+
+def test_r7_algebra_validate_plan_shapes(spark, tpch):
+    """Round-7 operators keep their declared plan shapes: OPTIONAL plans a
+    left OUTER equi-join (never BNL-on-true when vars are shared),
+    NOT EXISTS plans a LEFT ANTI join, CONSTRUCT stays pure-JVM with the
+    one distinct exchange, and SHACL validation's value constraints reach
+    the scan as pushed predicates with zero Python anywhere."""
+    from p5_rdf_rdb2rdf_spark import algebra as A
+    from p5_rdf_rdb2rdf_spark.direct_mapping import direct_map
+    from p5_rdf_rdb2rdf_spark.ops.validate import Shape, validate_shapes
+    from p5_rdf_rdb2rdf_spark.store import DirectMappingStore
+
+    manifest = {
+        "customer": {"pk": ["c_custkey"], "fks": []},
+        "orders": {
+            "pk": ["o_orderkey"],
+            "fks": [{"cols": ["o_custkey"], "parent": "customer",
+                     "parent_cols": ["c_custkey"]}],
+        },
+    }
+    store = DirectMappingStore(
+        spark, {"customer": tpch["customer"], "orders": tpch["orders"]},
+        manifest, base=BASE,
+    )
+    left = store.bgp([("?c", f"{BASE}customer#c_name", "?nm")])
+    right = store.bgp([("?o", f"{BASE}orders#ref-o_custkey", "?c")])
+
+    opt = A.optional(left, right)
+    p = _plan(opt)
+    assert "Python" not in p
+    assert "LeftOuter" in p or "BuildRight, LeftOuter" in p
+
+    ne = A.not_exists(left, A.project(right, "c"))
+    p = _plan(ne)
+    assert "Python" not in p and "LeftAnti" in p
+
+    g = A.construct(left, [("?c", f"{BASE}derived#named", "?nm")])
+    p = _plan(g)
+    assert "Python" not in p
+    assert "Exchange" in p  # the one distinct set-semantics exchange
+
+    triples = direct_map(
+        spark, {"customer": tpch["customer"]},
+        {"customer": {"pk": ["c_custkey"], "fks": []}},
+        base=BASE,
+    )
+    v = validate_shapes(triples, [
+        Shape("bal", f"{BASE}customer#c_acctbal", min_value=0.0),
+        Shape("nm", f"{BASE}customer#c_name", pattern="^Customer#"),
+    ])
+    p = _plan(v)
+    assert "Python" not in p
+    assert "Exchange" not in p  # pure value constraints: zero shuffles
