@@ -2207,6 +2207,55 @@ def store_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select("s_value", "p_value", "o_value")
 
 
+@_q(
+    "store_group_agg",
+    f"""
+    SELECT '{BASE}nation/n_nationkey=' || CAST(c_nationkey AS VARCHAR) AS nat,
+           count(*) AS n_cust,
+           min(c_acctbal) AS min_bal,
+           max(c_acctbal) AS max_bal
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def store_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL GROUP BY + aggregates (algebra.aggregate_solutions):
+
+        SELECT ?n (COUNT(*) AS ?n_cust) (MIN(?b) AS ?min_bal)
+               (MAX(?b) AS ?max_bal)
+        WHERE { ?c customer#ref-c_nationkey ?n .
+                ?c customer#c_acctbal ?b } GROUP BY ?n
+
+    Grouping is on full term identity; MIN/MAX go through var_num (the
+    lexical re-parsed to double — exact, since the lexical is the Java
+    shortest round-trip of that same double). MIN/MAX are selection
+    aggregates (no summation), so the values are bit-identical across
+    engines with no rounding bridge needed. One hash aggregation exchange
+    with map-side partial aggregates."""
+    from p5_rdf_rdb2rdf_spark import algebra as A
+    from p5_rdf_rdb2rdf_spark.store import DirectMappingStore
+
+    tables = _load(spark, sf_dir, ["customer"])
+    store = DirectMappingStore(
+        spark, {"customer": tables["customer"]}, TPCH_CONSTRAINTS, base=BASE
+    )
+    sol = store.bgp(
+        [
+            ("?c", f"{BASE}customer#ref-c_nationkey", "?n"),
+            ("?c", f"{BASE}customer#c_acctbal", "?b"),
+        ]
+    )
+    out = A.aggregate_solutions(
+        sol,
+        ["n"],
+        {
+            "n_cust": ("count", None),
+            "min_bal": ("min", "b"),
+            "max_bal": ("max", "b"),
+        },
+    )
+    return out.select(F.col("n.value").alias("nat"), "n_cust", "min_bal", "max_bal")
+
+
 # --- W3C conformance-style cases through the driver contract ----------------
 # (tests/test_w3c_cases.py holds the full spec corpus; these three expose the
 # composite-PK, IRI-encoding, language-tag and named-graph constructs to the

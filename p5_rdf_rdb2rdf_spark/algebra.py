@@ -56,6 +56,8 @@ __all__ = [
     "not_exists",
     "minus",
     "construct",
+    "aggregate_solutions",
+    "order_limit",
     "var_value",
     "var_num",
     "var_lang",
@@ -335,3 +337,97 @@ def construct(
         raise ValueError("construct requires at least one template pattern")
     from functools import reduce
     return reduce(DataFrame.unionByName, outs).distinct()
+
+
+# --- solution modifiers: GROUP BY / aggregates, ORDER BY / LIMIT ------------
+
+_AGG_FUNCS = (
+    "count", "count_distinct", "sum", "avg", "min", "max",
+    "group_concat", "sample",
+)
+
+
+def aggregate_solutions(
+    df: DataFrame,
+    group_vars: "list[str]",
+    aggs: "dict[str, tuple[str, str | None]]",
+) -> DataFrame:
+    """SPARQL ``GROUP BY`` + aggregates over a solution frame.
+
+    ``group_vars`` are variable names grouped on FULL term identity (the
+    struct, not the lexical — ``"5"^^xsd:integer`` and ``"5"`` are
+    different groups). ``aggs`` maps output column name →
+    ``(func, var)`` with func one of COUNT (var=None ⇒ ``COUNT(*)``;
+    var ⇒ count of rows where it is bound), COUNT_DISTINCT (distinct full
+    terms), SUM / AVG / MIN / MAX (numeric, over ``var_num`` — each value
+    that is not a numeric literal contributes NULL and is SKIPPED, the
+    lenient engine behavior; strict SPARQL instead errors the whole group
+    value — callers needing strictness pre-``filter_solutions`` on
+    ``var_num(v).isNotNull()``), GROUP_CONCAT (lexical forms joined ','
+    in SORTED order — the spec leaves order undefined, a deterministic
+    choice makes results reproducible and SQL-oracle-able) and SAMPLE
+    (deterministic: the minimum lexical — again a reproducible refinement
+    of the spec's "any value").
+
+    One hash aggregation exchange keyed on the group terms, partial
+    aggregates map-side; aggregate outputs are plain typed columns, group
+    vars stay term structs."""
+    if not group_vars:
+        raise ValueError("aggregate_solutions requires >=1 group variable")
+    exprs = []
+    for out, (func, var) in aggs.items():
+        f = func.lower()
+        if f not in _AGG_FUNCS:
+            raise ValueError(f"unknown aggregate {func!r}")
+        if f == "count":
+            col = F.count(F.lit(1)) if var is None else F.count(F.col(var))
+        elif f == "count_distinct":
+            if var is None:
+                raise ValueError("count_distinct requires a variable")
+            col = F.count_distinct(F.col(var))
+        elif f in ("sum", "avg", "min", "max"):
+            if var is None:
+                raise ValueError(f"{f} requires a variable")
+            col = getattr(F, f)(var_num(var))
+        elif f == "group_concat":
+            col = F.array_join(
+                F.sort_array(F.collect_list(var_value(var))), ","
+            )
+        else:  # sample
+            col = F.min(var_value(var))
+        exprs.append(col.alias(out))
+    return df.groupBy(*group_vars).agg(*exprs)
+
+
+def order_limit(
+    df: DataFrame,
+    keys: "list[tuple[str, bool]]",
+    limit: int | None = None,
+) -> DataFrame:
+    """SPARQL ``ORDER BY`` (+ optional ``LIMIT``): keys are
+    ``(var, ascending)``. Implements the spec's cross-kind total order —
+    unbound < blank nodes < IRIs < literals — with literals compared
+    numerically when their lexical form parses as a number and lexically
+    otherwise (numbers sort before non-numeric strings, matching the
+    usual engine extension of the spec's partial order into a total one;
+    document-deterministic either way).
+
+    With ``limit``, Spark plans a TakeOrderedAndProject — per-partition
+    top-k + a k-row driver merge, never a full sort-shuffle of the
+    solution set: exactly what you want for "top 10 of 10^9 solutions"."""
+    sort_cols = []
+    for var, asc in keys:
+        t = F.col(var)
+        kind_rank = (
+            F.when(t.isNull(), F.lit(0))
+            .when(t.getField("kind") == KIND_BLANK, F.lit(1))
+            .when(t.getField("kind") == KIND_IRI, F.lit(2))
+            .otherwise(F.lit(3))
+        )
+        num = var_num(var)
+        # numeric literals order before (asc) non-numeric by rank bump
+        lit_rank = F.when(num.isNotNull(), F.lit(0)).otherwise(F.lit(1))
+        for c in (kind_rank, lit_rank, num, var_value(var)):
+            sort_cols.append(c.asc_nulls_first() if asc else c.desc_nulls_last())
+    out = df.orderBy(*sort_cols)
+    return out.limit(limit) if limit is not None else out

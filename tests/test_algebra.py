@@ -262,3 +262,76 @@ def test_construct_skips_illegal_and_unbound(spark):
     opt = A.optional(names, st.bgp([("?p", "http://p/email", "?e")]))
     out = A.construct(opt, [("?p", "http://p/hasEmail", "?e")])
     assert out.count() == 1  # only alice has an email
+
+
+# --- aggregates + order/limit --------------------------------------------------
+
+
+def test_aggregate_solutions(spark):
+    st = _store(spark)
+    ages = st.bgp([("?p", "http://p/age", "?a")])
+    out = A.aggregate_solutions(
+        A.optional(ages, st.bgp([("?p", "http://p/email", "?e")])),
+        ["p"],
+        {
+            "n": ("count", None),
+            "n_email": ("count", "e"),
+            "total": ("sum", "a"),
+            "lexmin": ("sample", "a"),
+        },
+    ).collect()
+    by = {r["p"]["value"]: r for r in out}
+    assert by["http://ex/alice"]["n"] == 1
+    assert by["http://ex/alice"]["n_email"] == 1
+    assert by["http://ex/bob"]["n_email"] == 0  # unbound not counted
+    assert by["http://ex/alice"]["total"] == 30.0
+    assert by["http://ex/bob"]["total"] is None  # 'forty' skipped (lenient)
+    assert by["http://ex/carol"]["total"] == 25.0
+    assert by["http://ex/bob"]["lexmin"] == "forty"
+
+
+def test_aggregate_group_concat_and_errors(spark):
+    import pytest
+    st = _store(spark)
+    names = st.bgp([("?p", "http://p/name", "?n")])
+    all_one = names.select(F.lit(1).alias("g"), "n")
+    # group_concat is deterministic: sorted lexical forms
+    row = A.aggregate_solutions(
+        all_one.select(F.struct(
+            F.lit("literal").alias("kind"), F.lit("g").alias("value"),
+            F.lit(None).cast("string").alias("datatype"),
+            F.lit(None).cast("string").alias("lang")).alias("g"), "n"),
+        ["g"], {"names": ("group_concat", "n")},
+    ).collect()[0]
+    assert row["names"] == "Alice,Bob,Carol"
+    with pytest.raises(ValueError, match="unknown aggregate"):
+        A.aggregate_solutions(names, ["n"], {"x": ("median", "n")})
+    with pytest.raises(ValueError, match="group variable"):
+        A.aggregate_solutions(names, [], {"x": ("count", None)})
+
+
+def test_order_limit_cross_kind_total_order(spark):
+    st = _store(spark)
+    # mix: IRIs (knows objects), numeric + non-numeric literals (ages)
+    ages = st.bgp([("?p", "http://p/age", "?a")])
+    knows = st.bgp([("?p", "http://p/knows", "?q")]).select(
+        "p", F.col("q").alias("a"))
+    mixed = A.union(ages, knows)
+    ordered = [
+        (r["a"]["kind"], r["a"]["value"])
+        for r in A.order_limit(mixed, [("a", True)]).collect()
+    ]
+    # IRIs before literals; numeric literals (25 < 30) before 'forty'
+    assert ordered == [
+        ("iri", "http://ex/alice"),
+        ("literal", "25"), ("literal", "30"), ("literal", "forty"),
+    ]
+    # limit plans per-partition top-k (TakeOrderedAndProject)
+    top2 = A.order_limit(mixed, [("a", True)], limit=2)
+    plan = top2._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert top2.count() == 2
+    # descending flips
+    desc = [r["a"]["value"]
+            for r in A.order_limit(mixed, [("a", False)], limit=1).collect()]
+    assert desc == ["forty"]
