@@ -2256,6 +2256,85 @@ def store_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("n.value").alias("nat"), "n_cust", "min_bal", "max_bal")
 
 
+@_q(
+    "kg_rdfs_inference",
+    f"""
+    SELECT '{BASE}customer/c_custkey=' || CAST(c_custkey AS VARCHAR) AS node,
+           cls
+    FROM customer CROSS JOIN (
+      VALUES ('{BASE}customer'), ('http://ex/Buyer'),
+             ('http://ex/Agent'), ('http://ex/Thing')
+    ) t(cls)
+    UNION
+    SELECT '{BASE}nation/n_nationkey=' || CAST(n_nationkey AS VARCHAR), cls
+    FROM nation CROSS JOIN (
+      VALUES ('{BASE}nation'), ('http://ex/Place'), ('http://ex/Thing')
+    ) t(cls)
+    UNION
+    SELECT '{BASE}nation/n_nationkey=' || CAST(n_nationkey AS VARCHAR),
+           'http://ex/Country'
+    FROM nation WHERE EXISTS (
+      SELECT 1 FROM customer WHERE c_nationkey = n_nationkey
+    )
+    """,
+)
+def kg_rdfs_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS-lite (rhoDF) forward chaining (reasoning.rdfs_materialize) over
+    the DM graph of customer+nation with a 7-triple ontology:
+
+        customer subClassOf Buyer subClassOf Agent subClassOf Thing
+        nation   subClassOf Place subClassOf Thing
+        domain(customer#ref-c_nationkey) = Buyer
+        range(customer#ref-c_nationkey)  = Country subClassOf Place
+
+    Every customer entails 4 classes (asserted + 3-level subclass climb,
+    with the domain rule converging on the same Buyer type); every nation
+    entails nation/Place/Thing plus Country iff some customer references
+    it (the range rule fires on actual edges, not on the class). The
+    DuckDB twin cross-joins the closed class sets — the closure is a
+    constant of the query's own ontology, so hardcoding it is the
+    independent ground truth, while the generic closure/stratification
+    logic is pinned in tests/test_reasoning.py. Schema joins broadcast;
+    the instance graph never shuffles except the final set-distinct."""
+    from p5_rdf_rdb2rdf_spark.direct_mapping import direct_map
+    from p5_rdf_rdb2rdf_spark.reasoning import (
+        RDFS_DOMAIN,
+        RDFS_RANGE,
+        RDFS_SUBCLASSOF,
+        rdfs_materialize,
+    )
+    from p5_rdf_rdb2rdf_spark.terms import RDF_TYPE, TRIPLE_SCHEMA
+
+    tables = _load(spark, sf_dir, ["customer", "nation"])
+    triples = direct_map(
+        spark,
+        {t: tables[t] for t in ("customer", "nation")},
+        TPCH_CONSTRAINTS,
+        base=BASE,
+    )
+    ref = f"{BASE}customer#ref-c_nationkey"
+    ont_rows = [
+        (f"{BASE}customer", RDFS_SUBCLASSOF, "http://ex/Buyer"),
+        ("http://ex/Buyer", RDFS_SUBCLASSOF, "http://ex/Agent"),
+        ("http://ex/Agent", RDFS_SUBCLASSOF, "http://ex/Thing"),
+        (f"{BASE}nation", RDFS_SUBCLASSOF, "http://ex/Place"),
+        ("http://ex/Place", RDFS_SUBCLASSOF, "http://ex/Thing"),
+        (ref, RDFS_DOMAIN, "http://ex/Buyer"),
+        (ref, RDFS_RANGE, "http://ex/Country"),
+        ("http://ex/Country", RDFS_SUBCLASSOF, "http://ex/Place"),
+    ]
+    ont = spark.createDataFrame(
+        [("iri", s, p, "iri", o, None, None, None) for s, p, o in ont_rows],
+        TRIPLE_SCHEMA,
+    )
+    closed = rdfs_materialize(triples, schema=ont)
+    return (
+        closed.where(F.col("p_value") == RDF_TYPE)
+        .select(F.col("s_value").alias("node"), F.col("o_value").alias("cls"))
+        .distinct()
+    )
+
+
 # --- W3C conformance-style cases through the driver contract ----------------
 # (tests/test_w3c_cases.py holds the full spec corpus; these three expose the
 # composite-PK, IRI-encoding, language-tag and named-graph constructs to the
