@@ -2335,6 +2335,62 @@ def kg_rdfs_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "store_describe",
+    f"""
+    WITH picked AS (SELECT * FROM nation WHERE n_regionkey = 0),
+    nat_iri AS (
+      SELECT '{BASE}nation/n_nationkey=' || CAST(n_nationkey AS VARCHAR) AS iri,
+             * FROM picked
+    )
+    SELECT iri AS s_value,
+           'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p_value,
+           '{BASE}nation' AS o_value
+    FROM nat_iri
+    UNION ALL
+    SELECT iri, '{BASE}nation#n_nationkey', CAST(n_nationkey AS VARCHAR)
+    FROM nat_iri
+    UNION ALL
+    SELECT iri, '{BASE}nation#n_name', n_name FROM nat_iri
+    UNION ALL
+    SELECT iri, '{BASE}nation#n_regionkey', CAST(n_regionkey AS VARCHAR)
+    FROM nat_iri
+    UNION ALL
+    SELECT iri, '{BASE}nation#ref-n_regionkey',
+           '{BASE}region/r_regionkey=' || CAST(n_regionkey AS VARCHAR)
+    FROM nat_iri
+    UNION ALL
+    SELECT '{BASE}customer/c_custkey=' || CAST(c.c_custkey AS VARCHAR),
+           '{BASE}customer#ref-c_nationkey', n.iri
+    FROM customer c JOIN nat_iri n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def store_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL DESCRIBE (algebra.describe): the node set comes from a BGP
+    with a bound typed object — (?n, nation#n_regionkey, "0"), decoded to
+    a pushed n_regionkey=0 scan — and the description is every statement
+    with those nations as SUBJECT (their 5 DM triples each) or OBJECT
+    (every customer's FK edge into them). Subject side semi-joins on
+    value, object side on full term identity with null-safe datatype/lang
+    (IRI objects carry NULL datatype — a plain equi-join would match
+    nothing). The DuckDB twin enumerates both sides relationally."""
+    from p5_rdf_rdb2rdf_spark import algebra as A
+    from p5_rdf_rdb2rdf_spark.store import DirectMappingStore
+
+    tables = _load(spark, sf_dir, ["nation", "customer"])
+    store = DirectMappingStore(
+        spark,
+        {t: tables[t] for t in ("nation", "customer")},
+        TPCH_CONSTRAINTS,
+        base=BASE,
+    )
+    nodes = A.project(
+        store.bgp([("?n", f"{BASE}nation#n_regionkey", "0")]), "n"
+    )
+    d = A.describe(store, nodes)
+    return d.select("s_value", "p_value", "o_value")
+
+
 # --- W3C conformance-style cases through the driver contract ----------------
 # (tests/test_w3c_cases.py holds the full spec corpus; these three expose the
 # composite-PK, IRI-encoding, language-tag and named-graph constructs to the

@@ -58,6 +58,8 @@ __all__ = [
     "construct",
     "aggregate_solutions",
     "order_limit",
+    "values_frame",
+    "describe",
     "var_value",
     "var_num",
     "var_lang",
@@ -379,15 +381,13 @@ def aggregate_solutions(
         f = func.lower()
         if f not in _AGG_FUNCS:
             raise ValueError(f"unknown aggregate {func!r}")
+        if var is None and f != "count":
+            raise ValueError(f"{f} requires a variable")
         if f == "count":
             col = F.count(F.lit(1)) if var is None else F.count(F.col(var))
         elif f == "count_distinct":
-            if var is None:
-                raise ValueError("count_distinct requires a variable")
             col = F.count_distinct(F.col(var))
         elif f in ("sum", "avg", "min", "max"):
-            if var is None:
-                raise ValueError(f"{f} requires a variable")
             col = getattr(F, f)(var_num(var))
         elif f == "group_concat":
             col = F.array_join(
@@ -431,3 +431,87 @@ def order_limit(
             sort_cols.append(c.asc_nulls_first() if asc else c.desc_nulls_last())
     out = df.orderBy(*sort_cols)
     return out.limit(limit) if limit is not None else out
+
+
+def values_frame(
+    spark,
+    var_names: "list[str]",
+    rows: "list[tuple]",
+) -> DataFrame:
+    """SPARQL ``VALUES``: an inline solution frame — the idiom for binding
+    a query to a driver-known parameter list (entity ids to look up, a
+    work-list of IRIs) which then joins/optionals/filters like any BGP
+    frame. Each row is a tuple of terms, one per variable; a term is
+    ``("iri"|"blank", value)`` or ``("literal", value[, datatype[, lang]])``
+    or ``None`` (UNDEF — the SPARQL unbound marker, a NULL struct).
+    VALUES frames are driver-literal by definition (they come from the
+    query text), so building them driver-side is not a collect smell; at
+    most a few thousand rows that AQE broadcasts into whatever joins
+    them."""
+    from pyspark.sql import types as T
+
+    term_type = T.StructType([
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("value", T.StringType(), False),
+        T.StructField("datatype", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ])
+    schema = T.StructType(
+        [T.StructField(v, term_type, True) for v in var_names]
+    )
+
+    def mk(term):
+        if term is None:
+            return None
+        kind, value = term[0], term[1]
+        if kind not in (KIND_IRI, KIND_BLANK, KIND_LITERAL):
+            raise ValueError(f"bad term kind {kind!r}")
+        dt = term[2] if len(term) > 2 else None
+        lang = term[3] if len(term) > 3 else None
+        if kind != KIND_LITERAL and (dt or lang):
+            raise ValueError("datatype/lang only apply to literals")
+        return (kind, value, dt, lang)
+
+    data = []
+    for row in rows:
+        if len(row) != len(var_names):
+            raise ValueError(
+                f"VALUES row has {len(row)} terms for {len(var_names)} vars"
+            )
+        data.append(tuple(mk(t) for t in row))
+    return spark.createDataFrame(data, schema)
+
+
+def describe(store, nodes: DataFrame) -> DataFrame:
+    """SPARQL ``DESCRIBE``: every statement whose subject or object is one
+    of ``nodes`` (a one-column frame of term structs, e.g. a projected
+    solution variable) — the simple symmetric concise description, without
+    blank-node closure (the spec leaves DESCRIBE's extent to the
+    implementation; the non-recursive form is one pass, the closure form
+    is a frontier loop callers can build with ``path_closure`` if their
+    graph uses bnode structure). Two LEFT SEMI joins against the node set
+    (subject side joins on value — subjects carry no datatype/lang; object
+    side on full term identity), unioned and de-duplicated; the node frame
+    is solution-sized and AQE-broadcastable."""
+    var = nodes.columns[0]
+    t = nodes.select(F.col(var).alias("__n"))
+    subj_keys = t.select(F.col("__n").getField("value").alias("s_value")).distinct()
+    all_t = store.get_statements()
+    by_subj = all_t.join(subj_keys, "s_value", "left_semi")
+    obj_keys = t.select(
+        F.col("__n").getField("kind").alias("__k"),
+        F.col("__n").getField("value").alias("__v"),
+        F.col("__n").getField("datatype").alias("__d"),
+        F.col("__n").getField("lang").alias("__l"),
+    ).distinct()
+    # datatype/lang are NULL for IRIs and plain literals: the join must be
+    # null-safe there or no IRI object would ever match
+    by_obj = all_t.join(
+        obj_keys,
+        (F.col("o_kind") == F.col("__k"))
+        & (F.col("o_value") == F.col("__v"))
+        & F.col("o_datatype").eqNullSafe(F.col("__d"))
+        & F.col("o_lang").eqNullSafe(F.col("__l")),
+        "left_semi",
+    )
+    return by_subj.unionByName(by_obj).distinct()

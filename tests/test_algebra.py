@@ -335,3 +335,67 @@ def test_order_limit_cross_kind_total_order(spark):
     desc = [r["a"]["value"]
             for r in A.order_limit(mixed, [("a", False)], limit=1).collect()]
     assert desc == ["forty"]
+
+
+def test_aggregate_count_distinct_and_var_validation(spark):
+    import pytest
+    st = _store(spark)
+    ages = st.bgp([("?p", "http://p/age", "?a")])
+    doubled = A.union(ages, ages)
+    one = doubled.select(F.struct(
+        F.lit("literal").alias("kind"), F.lit("g").alias("value"),
+        F.lit(None).cast("string").alias("datatype"),
+        F.lit(None).cast("string").alias("lang")).alias("g"), "p", "a")
+    row = A.aggregate_solutions(one, ["g"], {
+        "n": ("count", None),
+        "nd": ("count_distinct", "p"),  # distinct on the full term struct
+    }).collect()[0]
+    assert row["n"] == 6 and row["nd"] == 3
+    for f in ("group_concat", "sample", "sum", "count_distinct"):
+        with pytest.raises(ValueError, match="requires a variable"):
+            A.aggregate_solutions(ages, ["a"], {"x": (f, None)})
+
+
+# --- VALUES + DESCRIBE ----------------------------------------------------------
+
+
+def test_values_frame_joins_and_undef(spark):
+    import pytest
+    st = _store(spark)
+    vals = A.values_frame(spark, ["p", "tag"], [
+        (("iri", "http://ex/alice"), ("literal", "keep")),
+        (("iri", "http://ex/carol"), None),  # UNDEF tag
+        (("iri", "http://ex/nobody"), ("literal", "x")),
+    ])
+    names = st.bgp([("?p", "http://p/name", "?n")])
+    joined = names.join(vals, "p")  # plain equi-join on the term struct
+    got = {(r["n"]["value"], r["tag"]["value"] if r["tag"] else None)
+           for r in joined.collect()}
+    assert got == {("Alice", "keep"), ("Carol", None)}
+    with pytest.raises(ValueError, match="row has"):
+        A.values_frame(spark, ["a", "b"], [(("iri", "x"),)])
+    with pytest.raises(ValueError, match="bad term kind"):
+        A.values_frame(spark, ["a"], [(("uri", "x"),)])
+    with pytest.raises(ValueError, match="only apply to literals"):
+        A.values_frame(spark, ["a"], [(("iri", "x", "http://dt"),)])
+
+
+def test_describe_subject_and_object_sides(spark):
+    st = _store(spark)
+    # describe alice: her 3 outgoing statements + carol-knows-alice
+    nodes = A.values_frame(spark, ["x"], [(("iri", "http://ex/alice"),)])
+    d = A.describe(st, nodes)
+    got = {(r["s_value"], r["p_value"], r["o_value"]) for r in d.collect()}
+    assert got == {
+        ("http://ex/alice", "http://p/name", "Alice"),
+        ("http://ex/alice", "http://p/email", "a@x.org"),
+        ("http://ex/alice", "http://p/age", "30"),
+        ("http://ex/carol", "http://p/knows", "http://ex/alice"),
+    }
+    # a literal node only matches the object side, on full term identity
+    lit = A.values_frame(spark, ["x"], [(("literal", "Bob", None, "en"),)])
+    got2 = {(r["s_value"], r["o_value"]) for r in A.describe(st, lit).collect()}
+    assert got2 == {("http://ex/bob", "Bob")}
+    # same lexical, no lang tag -> no match (term identity, not value)
+    lit2 = A.values_frame(spark, ["x"], [(("literal", "Bob"),)])
+    assert A.describe(st, lit2).count() == 0
