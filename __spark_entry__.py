@@ -2391,6 +2391,49 @@ def store_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("s_value", "p_value", "o_value")
 
 
+@_q(
+    "sparql_text_query",
+    f"""
+    SELECT '{BASE}customer/c_custkey=' || CAST(c_custkey AS VARCHAR) AS cust,
+           c_name AS name, c_mktsegment AS seg
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY') AND c_acctbal >= 9000
+    ORDER BY c_name LIMIT 100
+    """,
+)
+def sparql_text_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SPARQL TEXT front end (sparql.sparql) end-to-end against the
+    virtual DM store: tokenizer -> recursive-descent parser -> algebra ->
+    Catalyst plan. Exercises multi-pattern BGP with ';' abbreviation,
+    FILTER with ||, numeric comparison through var_num, ORDER BY on a
+    unique key + LIMIT (TakeOrderedAndProject — per-partition top-k). The
+    LIMIT selection is deterministic because c_name is unique; the DuckDB
+    twin is the equivalent relational query."""
+    from p5_rdf_rdb2rdf_spark.sparql import sparql
+    from p5_rdf_rdb2rdf_spark.store import DirectMappingStore
+
+    tables = _load(spark, sf_dir, ["customer"])
+    store = DirectMappingStore(
+        spark, {"customer": tables["customer"]}, TPCH_CONSTRAINTS, base=BASE
+    )
+    sol = sparql(
+        store,
+        f"""
+        SELECT ?c ?nm ?seg WHERE {{
+          ?c <{BASE}customer#c_mktsegment> ?seg ;
+             <{BASE}customer#c_name> ?nm ;
+             <{BASE}customer#c_acctbal> ?b .
+          FILTER ((?seg = "BUILDING" || ?seg = "MACHINERY") && ?b >= 9000)
+        }} ORDER BY ?nm LIMIT 100
+        """,
+    )
+    return sol.select(
+        F.col("c.value").alias("cust"),
+        F.col("nm.value").alias("name"),
+        F.col("seg.value").alias("seg"),
+    )
+
+
 # --- W3C conformance-style cases through the driver contract ----------------
 # (tests/test_w3c_cases.py holds the full spec corpus; these three expose the
 # composite-PK, IRI-encoding, language-tag and named-graph constructs to the

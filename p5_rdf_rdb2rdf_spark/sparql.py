@@ -1,0 +1,728 @@
+"""SPARQL text front end — a strictly-scoped subset parser + evaluator.
+
+Lets a query STRING run against any store (``TripleStore`` /
+``DirectMappingStore``): tokenize → recursive-descent parse → compile to
+the :mod:`.algebra` operators, which are plain Catalyst-visible
+DataFrame plans. The same layering as the repo's vendored Turtle-subset
+parser (``turtle.py``): a small, fully-tested grammar slice with HARD
+failure on anything outside it — never a silent wrong answer.
+
+Supported:
+
+- ``PREFIX`` prologue; ``SELECT [DISTINCT] ?v… | *``, ``ASK``,
+  ``CONSTRUCT { template }``
+- group graph patterns: triple blocks (``;``/``,`` abbreviations),
+  ``OPTIONAL {…}``, ``MINUS {…}``, ``{…} UNION {…}``,
+  ``FILTER (expr)`` / ``FILTER NOT EXISTS {…}``, ``VALUES`` (inline
+  data, ``UNDEF``)
+- FILTER expressions: ``|| && !``, comparisons, arithmetic-free numeric
+  compare via lexical→double, ``BOUND REGEX STR LANG DATATYPE isIRI
+  isLiteral isBlank``, parentheses
+- solution modifiers: ``ORDER BY [ASC|DESC](?v)…``, ``LIMIT n``
+
+Out of scope (raise ``SparqlUnsupported``): property paths in query text
+(use :func:`.algebra.path_closure` directly), GROUP BY/aggregates in
+text form (use :func:`.algebra.aggregate_solutions`), subqueries,
+``GRAPH``/named graphs, ``DESCRIBE`` text form, ``OFFSET``, ``BIND``,
+federated ``SERVICE``. Bound literal OBJECTS in triple patterns match by
+lexical form (``get_statements`` value semantics — a pattern object
+``"30"`` also matches ``"30"^^xsd:integer``); FILTER equality, by
+contrast, is exact on whatever the expression reads. The evaluator
+inherits the algebra layer's
+well-designed-pattern restriction: OPTIONAL/NOT-EXISTS sharing only
+maybe-unbound variables is refused at plan time, not answered wrongly.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import algebra as A
+
+__all__ = ["sparql", "parse_query", "SparqlError", "SparqlUnsupported"]
+
+
+class SparqlError(ValueError):
+    pass
+
+
+class SparqlUnsupported(SparqlError):
+    pass
+
+
+# --- tokenizer ---------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+|\#[^\n]*)
+  | (?P<iri><[^<>\s]*>)
+  | (?P<string>"(?:[^"\\]|\\.)*")
+  | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<num>[+-]?\d+(?:\.\d+)?)
+  | (?P<langtag>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
+  | (?P<dtmark>\^\^)
+  | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_.%-]*)
+  | (?P<kw>[A-Za-z][A-Za-z_]*)
+  | (?P<op>&&|\|\||!=|<=|>=|[{}().,;*=<>!])
+    """,
+    re.VERBOSE,
+)
+
+_KEYWORDS = {
+    "PREFIX", "SELECT", "DISTINCT", "WHERE", "OPTIONAL", "UNION", "MINUS",
+    "FILTER", "NOT", "EXISTS", "VALUES", "UNDEF", "ORDER", "BY", "ASC",
+    "DESC", "LIMIT", "ASK", "CONSTRUCT", "BOUND", "REGEX", "STR", "LANG",
+    "DATATYPE", "ISIRI", "ISURI", "ISLITERAL", "ISBLANK", "TRUE", "FALSE",
+    "A",
+    # recognized-but-unsupported (clean error instead of parse garbage)
+    "GROUP", "OFFSET", "BIND", "GRAPH", "SERVICE", "DESCRIBE", "HAVING",
+    "COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT", "AS",
+}
+
+
+@dataclass
+class _Tok:
+    kind: str
+    text: str
+    pos: int
+
+
+def _tokenize(q: str) -> list[_Tok]:
+    out, i = [], 0
+    while i < len(q):
+        m = _TOKEN_RE.match(q, i)
+        if not m:
+            raise SparqlError(f"cannot tokenize at …{q[i:i+20]!r}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        text = m.group()
+        if kind == "kw":
+            up = text.upper()
+            if up not in _KEYWORDS:
+                raise SparqlError(f"unknown keyword {text!r}")
+            out.append(_Tok("kw", up, m.start()))
+        else:
+            out.append(_Tok(kind, text, m.start()))
+    out.append(_Tok("eof", "", len(q)))
+    return out
+
+
+# --- AST ----------------------------------------------------------------------
+
+
+@dataclass
+class _Pattern:  # one triple pattern; terms are ('var',name) or RDF terms
+    s: tuple
+    p: tuple
+    o: tuple
+
+
+@dataclass
+class _Group:
+    patterns: list = field(default_factory=list)  # _Pattern (the BGP)
+    optionals: list = field(default_factory=list)  # _Group
+    minuses: list = field(default_factory=list)  # _Group
+    not_exists: list = field(default_factory=list)  # _Group
+    filters: list = field(default_factory=list)  # expr AST
+    union: "tuple[_Group, _Group] | None" = None
+    values: "tuple[list[str], list[tuple]] | None" = None
+
+
+@dataclass
+class _Query:
+    form: str  # select | ask | construct
+    select_vars: "list[str] | None" = None  # None = *
+    distinct: bool = False
+    template: "list[_Pattern] | None" = None
+    where: _Group | None = None
+    order: list = field(default_factory=list)  # (var, asc)
+    limit: int | None = None
+
+
+# --- parser --------------------------------------------------------------------
+
+
+class _Parser:
+    def __init__(self, q: str):
+        self.toks = _tokenize(q)
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+
+    def peek(self) -> _Tok:
+        return self.toks[self.i]
+
+    def next(self) -> _Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, kind: str, text: str | None = None) -> _Tok:
+        t = self.next()
+        if t.kind != kind or (text is not None and t.text != text):
+            raise SparqlError(
+                f"expected {text or kind} at position {t.pos}, got {t.text!r}"
+            )
+        return t
+
+    def at_kw(self, *kws: str) -> bool:
+        t = self.peek()
+        return t.kind == "kw" and t.text in kws
+
+    # -- entry
+    def parse(self) -> _Query:
+        while self.at_kw("PREFIX"):
+            self.next()
+            pn = self.expect("pname").text
+            if not pn.endswith(":") and ":" in pn:
+                # pname token includes local part; prefix decl must be bare
+                raise SparqlError(f"bad PREFIX name {pn!r}")
+            iri = self.expect("iri").text
+            self.prefixes[pn[:-1] if pn.endswith(":") else pn.split(":")[0]] = iri[1:-1]
+        if self.at_kw("SELECT"):
+            return self._select()
+        if self.at_kw("ASK"):
+            self.next()
+            return _Query(form="ask", where=self._group())
+        if self.at_kw("CONSTRUCT"):
+            return self._construct()
+        if self.at_kw("DESCRIBE", "GROUP", "BIND", "GRAPH", "SERVICE"):
+            raise SparqlUnsupported(
+                f"{self.peek().text} is outside the supported subset"
+            )
+        raise SparqlError(f"expected SELECT/ASK/CONSTRUCT, got {self.peek().text!r}")
+
+    def _select(self) -> _Query:
+        self.next()
+        q = _Query(form="select")
+        if self.at_kw("DISTINCT"):
+            self.next()
+            q.distinct = True
+        if self.peek().kind == "op" and self.peek().text == "*":
+            self.next()
+            q.select_vars = None
+        else:
+            vs = []
+            while self.peek().kind == "var":
+                vs.append(self.next().text[1:])
+            if self.peek().kind == "op" and self.peek().text == "(":
+                raise SparqlUnsupported(
+                    "aggregate/expression projections are outside the "
+                    "supported subset — use algebra.aggregate_solutions"
+                )
+            if not vs:
+                raise SparqlError("SELECT needs ?vars or *")
+            q.select_vars = vs
+        if self.at_kw("WHERE"):
+            self.next()
+        q.where = self._group()
+        self._modifiers(q)
+        return q
+
+    def _construct(self) -> _Query:
+        self.next()
+        q = _Query(form="construct", template=[])
+        self.expect("op", "{")
+        q.template = self._triples_block()
+        self.expect("op", "}")
+        if self.at_kw("WHERE"):
+            self.next()
+        q.where = self._group()
+        self._modifiers(q)
+        return q
+
+    def _modifiers(self, q: _Query) -> None:
+        if self.at_kw("GROUP", "HAVING"):
+            raise SparqlUnsupported(
+                "GROUP BY/HAVING are outside the supported subset — use "
+                "algebra.aggregate_solutions"
+            )
+        if self.at_kw("ORDER"):
+            self.next()
+            self.expect("kw", "BY")
+            while True:
+                asc = True
+                if self.at_kw("ASC", "DESC"):
+                    asc = self.next().text == "ASC"
+                    self.expect("op", "(")
+                    var = self.expect("var").text[1:]
+                    self.expect("op", ")")
+                elif self.peek().kind == "var":
+                    var = self.next().text[1:]
+                else:
+                    break
+                q.order.append((var, asc))
+            if not q.order:
+                raise SparqlError("ORDER BY needs at least one sort key")
+        if self.at_kw("OFFSET"):
+            raise SparqlUnsupported("OFFSET is outside the supported subset")
+        if self.at_kw("LIMIT"):
+            self.next()
+            q.limit = int(self.expect("num").text)
+        if self.peek().kind != "eof":
+            raise SparqlError(f"trailing content: {self.peek().text!r}")
+
+    # -- group graph pattern
+    def _group(self) -> _Group:
+        self.expect("op", "{")
+        g = _Group()
+        while True:
+            t = self.peek()
+            if t.kind == "op" and t.text == "}":
+                self.next()
+                break
+            if t.kind == "op" and t.text == "{":
+                # either a plain nested group or the left arm of UNION
+                sub = self._group()
+                if self.at_kw("UNION"):
+                    self.next()
+                    right = self._union_arm()
+                    if (g.patterns or g.optionals or g.filters or g.minuses
+                            or g.not_exists or g.values):
+                        raise SparqlUnsupported(
+                            "UNION mixed with other patterns in one group "
+                            "is outside the supported subset — nest it"
+                        )
+                    g.union = (sub, right)
+                else:
+                    raise SparqlUnsupported(
+                        "bare nested groups are outside the supported "
+                        "subset (only OPTIONAL/MINUS/UNION/NOT EXISTS nest)"
+                    )
+                continue
+            if self.at_kw("OPTIONAL"):
+                self.next()
+                g.optionals.append(self._group())
+                continue
+            if self.at_kw("MINUS"):
+                self.next()
+                g.minuses.append(self._group())
+                continue
+            if self.at_kw("FILTER"):
+                self.next()
+                if self.at_kw("NOT"):
+                    self.next()
+                    self.expect("kw", "EXISTS")
+                    g.not_exists.append(self._group())
+                else:
+                    g.filters.append(self._expr_primary_paren())
+                continue
+            if self.at_kw("VALUES"):
+                self.next()
+                g.values = self._values()
+                continue
+            if self.at_kw("BIND", "GRAPH", "SERVICE"):
+                raise SparqlUnsupported(
+                    f"{t.text} is outside the supported subset"
+                )
+            # triples
+            g.patterns.extend(self._triples_block())
+        return g
+
+    def _union_arm(self) -> _Group:
+        arm = self._group()
+        if self.at_kw("UNION"):
+            self.next()
+            right = self._union_arm()
+            outer = _Group()
+            outer.union = (arm, right)
+            return outer
+        return arm
+
+    def _values(self) -> tuple[list[str], list[tuple]]:
+        vs = []
+        if self.peek().kind == "var":
+            vs = [self.next().text[1:]]
+            self.expect("op", "{")
+            rows = []
+            while not (self.peek().kind == "op" and self.peek().text == "}"):
+                rows.append((self._values_term(),))
+            self.expect("op", "}")
+            return vs, rows
+        self.expect("op", "(")
+        while self.peek().kind == "var":
+            vs.append(self.next().text[1:])
+        self.expect("op", ")")
+        self.expect("op", "{")
+        rows = []
+        while self.peek().kind == "op" and self.peek().text == "(":
+            self.next()
+            row = tuple(self._values_term() for _ in vs)
+            self.expect("op", ")")
+            rows.append(row)
+        self.expect("op", "}")
+        return vs, rows
+
+    def _values_term(self):
+        if self.at_kw("UNDEF"):
+            self.next()
+            return None
+        return self._term(allow_var=False)
+
+    # -- triples with ; and , abbreviations
+    def _triples_block(self) -> list[_Pattern]:
+        pats: list[_Pattern] = []
+        while True:
+            t = self.peek()
+            if t.kind == "op" and t.text == "}":
+                break
+            if t.kind == "kw" and t.text in (
+                "OPTIONAL", "MINUS", "FILTER", "VALUES", "BIND", "GRAPH",
+                "SERVICE",
+            ):
+                break
+            s = self._term()
+            while True:
+                p = self._verb()
+                while True:
+                    o = self._term()
+                    pats.append(_Pattern(s, p, o))
+                    if self.peek().kind == "op" and self.peek().text == ",":
+                        self.next()
+                        continue
+                    break
+                if self.peek().kind == "op" and self.peek().text == ";":
+                    self.next()
+                    if self.peek().kind == "op" and self.peek().text in (".", "}"):
+                        break  # dangling ';'
+                    continue
+                break
+            if self.peek().kind == "op" and self.peek().text == ".":
+                self.next()
+                continue
+            break
+        return pats
+
+    def _verb(self) -> tuple:
+        if self.at_kw("A"):
+            self.next()
+            return ("iri", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
+        return self._term()
+
+    def _term(self, allow_var: bool = True) -> tuple:
+        t = self.next()
+        if t.kind == "var":
+            if not allow_var:
+                raise SparqlError(f"variable not allowed at {t.pos}")
+            return ("var", t.text[1:])
+        if t.kind == "iri":
+            return ("iri", t.text[1:-1])
+        if t.kind == "pname":
+            pre, _, local = t.text.partition(":")
+            if pre not in self.prefixes:
+                raise SparqlError(f"undeclared prefix {pre!r}:")
+            return ("iri", self.prefixes[pre] + local)
+        if t.kind == "string":
+            lex = _unescape(t.text[1:-1])
+            nxt = self.peek()
+            if nxt.kind == "langtag":
+                self.next()
+                return ("literal", lex, None, nxt.text[1:].lower())
+            if nxt.kind == "dtmark":
+                self.next()
+                dt = self._term(allow_var=False)
+                if dt[0] != "iri":
+                    raise SparqlError("datatype must be an IRI")
+                return ("literal", lex, dt[1], None)
+            return ("literal", lex, None, None)
+        if t.kind == "num":
+            dt = (
+                "http://www.w3.org/2001/XMLSchema#integer"
+                if re.fullmatch(r"[+-]?\d+", t.text)
+                else "http://www.w3.org/2001/XMLSchema#decimal"
+            )
+            return ("literal", t.text, dt, None)
+        if t.kind == "kw" and t.text in ("TRUE", "FALSE"):
+            return ("literal", t.text.lower(),
+                    "http://www.w3.org/2001/XMLSchema#boolean", None)
+        raise SparqlError(f"expected term at position {t.pos}, got {t.text!r}")
+
+    # -- FILTER expressions (precedence: || < && < cmp < unary)
+    def _expr_primary_paren(self):
+        self.expect("op", "(")
+        e = self._expr_or()
+        self.expect("op", ")")
+        return e
+
+    def _expr_or(self):
+        left = self._expr_and()
+        while self.peek().kind == "op" and self.peek().text == "||":
+            self.next()
+            left = ("or", left, self._expr_and())
+        return left
+
+    def _expr_and(self):
+        left = self._expr_cmp()
+        while self.peek().kind == "op" and self.peek().text == "&&":
+            self.next()
+            left = ("and", left, self._expr_cmp())
+        return left
+
+    def _expr_cmp(self):
+        left = self._expr_unary()
+        t = self.peek()
+        if t.kind == "op" and t.text in ("=", "!=", "<", ">", "<=", ">="):
+            self.next()
+            return ("cmp", t.text, left, self._expr_unary())
+        return left
+
+    def _expr_unary(self):
+        t = self.peek()
+        if t.kind == "op" and t.text == "!":
+            self.next()
+            return ("not", self._expr_unary())
+        if t.kind == "op" and t.text == "(":
+            return self._expr_primary_paren()
+        if t.kind == "kw" and t.text in (
+            "BOUND", "REGEX", "STR", "LANG", "DATATYPE", "ISIRI", "ISURI",
+            "ISLITERAL", "ISBLANK",
+        ):
+            fn = self.next().text
+            self.expect("op", "(")
+            args = [self._expr_or()]
+            while self.peek().kind == "op" and self.peek().text == ",":
+                self.next()
+                args.append(self._expr_or())
+            self.expect("op", ")")
+            return ("call", fn, args)
+        return ("term", self._term())
+
+
+def _unescape(s: str) -> str:
+    return (
+        s.replace("\\\\", "\x00")
+        .replace('\\"', '"')
+        .replace("\\n", "\n")
+        .replace("\\t", "\t")
+        .replace("\x00", "\\")
+    )
+
+
+def parse_query(q: str) -> "_Query":
+    """Parse a SPARQL string into the internal AST (exposed for tests)."""
+    return _Parser(q).parse()
+
+
+# --- evaluator -------------------------------------------------------------------
+
+
+def _ast_term_to_bgp(t: tuple) -> str:
+    """AST term -> match_bgp textual term. Non-var terms pass the raw
+    value (match_bgp binds on value via get_statements)."""
+    if t[0] == "var":
+        return "?" + t[1]
+    return t[1]
+
+
+def _compile_expr(e, columns: "set[str]") -> Column:
+    kind = e[0]
+    if kind == "or":
+        return _compile_expr(e[1], columns) | _compile_expr(e[2], columns)
+    if kind == "and":
+        return _compile_expr(e[1], columns) & _compile_expr(e[2], columns)
+    if kind == "not":
+        return ~_compile_expr(e[1], columns)
+    if kind == "cmp":
+        op, l, r = e[1], e[2], e[3]
+        lc, ln = _operand(l, columns)
+        rc, rn = _operand(r, columns)
+        # numeric comparison when either side is numeric-typed; else lexical
+        numeric = ln or rn
+        a = _as_num(l, columns) if numeric else lc
+        b = _as_num(r, columns) if numeric else rc
+        if op == "=":
+            return a == b
+        if op == "!=":
+            return a != b
+        if op == "<":
+            return a < b
+        if op == ">":
+            return a > b
+        if op == "<=":
+            return a <= b
+        return a >= b
+    if kind == "call":
+        fn, args = e[1], e[2]
+        if fn == "BOUND":
+            return A.bound(_arg_var(args[0]))
+        if fn == "REGEX":
+            pat = _arg_literal(args[1])
+            return _operand(args[0], columns)[0].rlike(pat)
+        if fn == "STR":
+            return _operand(args[0], columns)[0]
+        if fn == "LANG":
+            return A.var_lang(_arg_var(args[0]))
+        if fn == "DATATYPE":
+            return A.var_datatype(_arg_var(args[0]))
+        if fn in ("ISIRI", "ISURI"):
+            return A.is_iri(_arg_var(args[0]))
+        if fn == "ISLITERAL":
+            return A.is_literal(_arg_var(args[0]))
+        if fn == "ISBLANK":
+            return A.is_blank(_arg_var(args[0]))
+        raise SparqlUnsupported(f"function {fn}")
+    if kind == "term":
+        # a bare term in boolean position: only booleans make sense
+        raise SparqlError("bare term is not a boolean FILTER expression")
+    raise SparqlError(f"bad expression node {kind!r}")
+
+
+_NUM_DTS = {
+    "http://www.w3.org/2001/XMLSchema#integer",
+    "http://www.w3.org/2001/XMLSchema#decimal",
+    "http://www.w3.org/2001/XMLSchema#double",
+}
+
+
+def _operand(e, columns) -> "tuple[Column, bool]":
+    """-> (value column, is-numeric-literal)."""
+    if e[0] == "call":
+        return _compile_expr(e, columns), False
+    if e[0] != "term":
+        raise SparqlError("comparison operand must be a term or function")
+    t = e[1]
+    if t[0] == "var":
+        if t[1] not in columns:
+            raise SparqlError(f"unbound variable ?{t[1]} in FILTER")
+        return A.var_value(t[1]), False
+    if t[0] == "literal":
+        return F.lit(t[1]), (t[2] in _NUM_DTS)
+    return F.lit(t[1]), False  # iri
+
+
+def _as_num(e, columns) -> Column:
+    if e[0] == "term" and e[1][0] == "var":
+        return A.var_num(e[1][1])
+    if e[0] == "term" and e[1][0] == "literal":
+        return F.lit(float(e[1][1]))
+    return _operand(e, columns)[0].try_cast("double")
+
+
+def _arg_var(e) -> str:
+    if e[0] == "term" and e[1][0] == "var":
+        return e[1][1]
+    raise SparqlError("this function takes a variable argument")
+
+
+def _arg_literal(e) -> str:
+    if e[0] == "term" and e[1][0] == "literal":
+        return e[1][1]
+    raise SparqlError("this function takes a literal argument")
+
+
+def _eval_group(store, g: _Group, spark) -> DataFrame:
+    if g.union is not None:
+        return A.union(
+            _eval_group(store, g.union[0], spark),
+            _eval_group(store, g.union[1], spark),
+        )
+    if not g.patterns and not g.values:
+        raise SparqlError("empty group graph pattern")
+    acc: DataFrame | None = None
+    if g.patterns:
+        acc = store.bgp(
+            [
+                (
+                    _ast_term_to_bgp(p.s),
+                    _ast_term_to_bgp(p.p),
+                    _ast_term_to_bgp(p.o),
+                )
+                for p in g.patterns
+            ]
+        )
+    if g.values is not None:
+        vf = A.values_frame(spark, g.values[0], g.values[1])
+        if acc is None:
+            acc = vf
+        else:
+            shared = sorted(set(acc.columns) & set(vf.columns))
+            acc = acc.join(vf, shared) if shared else acc.crossJoin(vf)
+    for og in g.optionals:
+        acc = A.optional(acc, _eval_group(store, og, spark))
+    for mg in g.minuses:
+        acc = A.minus(acc, _eval_group(store, mg, spark))
+    for ng in g.not_exists:
+        acc = A.not_exists(acc, _eval_group(store, ng, spark))
+    for fe in g.filters:
+        acc = A.filter_solutions(acc, _compile_expr(fe, set(acc.columns)))
+    return acc
+
+
+def sparql(store, query: str) -> DataFrame:
+    """Run a SPARQL query string against a store.
+
+    SELECT → a solution frame (one term-struct column per variable);
+    ASK → a single-row frame with boolean column ``ask``;
+    CONSTRUCT → an 8-column triple frame. The plan is whatever the
+    algebra layer composes — pruned per-pattern scans, equi-joins on term
+    identity, TakeOrderedAndProject under LIMIT — nothing interpreter-ish
+    survives into execution."""
+    ast = parse_query(query)
+    spark = None
+    for attr in ("spark", "_spark"):
+        spark = getattr(store, attr, None)
+        if spark is not None:
+            break
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+    sol = _eval_group(store, ast.where, spark)
+    if ast.form == "ask":
+        return sol.limit(1).groupBy().agg(
+            (F.count(F.lit(1)) > 0).alias("ask")
+        )
+    if ast.form == "construct":
+        tpl = []
+        for p in ast.template:
+            for t in (p.s, p.p, p.o):
+                if t[0] == "literal":
+                    raise SparqlUnsupported(
+                        "literal terms in CONSTRUCT templates are outside "
+                        "the supported subset (constants must be IRIs)"
+                    )
+            tpl.append(
+                (
+                    _ast_term_to_bgp(p.s),
+                    _ast_term_to_bgp(p.p),
+                    _ast_term_to_bgp(p.o),
+                )
+            )
+        return A.construct(sol, tpl)
+    # select — SPARQL modifier order: project+DISTINCT first, then
+    # ORDER/LIMIT slice the distinct projected solutions
+    if ast.select_vars is not None:
+        missing = [v for v in ast.select_vars if v not in sol.columns]
+        if missing:
+            raise SparqlError(f"SELECT of unbound variables: {missing}")
+        if ast.distinct:
+            bad = [v for v, _ in ast.order if v not in ast.select_vars]
+            if bad:
+                raise SparqlUnsupported(
+                    "ORDER BY on non-projected variables under DISTINCT "
+                    f"is outside the supported subset: {bad}"
+                )
+            sol = A.distinct_solutions(A.project(sol, *ast.select_vars))
+            if ast.order:
+                sol = A.order_limit(sol, ast.order, ast.limit)
+            elif ast.limit is not None:
+                sol = sol.limit(ast.limit)
+            return sol
+        if ast.order:
+            sol = A.order_limit(sol, ast.order, ast.limit)
+        elif ast.limit is not None:
+            sol = sol.limit(ast.limit)
+        return A.project(sol, *ast.select_vars)
+    if ast.distinct:
+        sol = A.distinct_solutions(sol)
+    if ast.order:
+        sol = A.order_limit(sol, ast.order, ast.limit)
+    elif ast.limit is not None:
+        sol = sol.limit(ast.limit)
+    return sol

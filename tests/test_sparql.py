@@ -1,0 +1,194 @@
+"""SPARQL text front end (sparql.py): parser + evaluator against small
+deterministic graphs; the algebra semantics themselves are pinned in
+tests/test_algebra.py — here we pin the TEXT → algebra mapping, the
+grammar slice's edges, and the hard-failure boundary."""
+
+from __future__ import annotations
+
+import pytest
+
+from p5_rdf_rdb2rdf_spark.sparql import (
+    SparqlError,
+    SparqlUnsupported,
+    parse_query,
+    sparql,
+)
+from p5_rdf_rdb2rdf_spark.store import TripleStore
+
+SCHEMA = ("s_kind string, s_value string, p_value string, o_kind string, "
+          "o_value string, o_datatype string, o_lang string, g_value string")
+
+XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    rows = [
+        ("iri", "http://ex/alice", "http://p/name", "literal", "Alice", None, None, None),
+        ("iri", "http://ex/bob", "http://p/name", "literal", "Bob", None, "en", None),
+        ("iri", "http://ex/carol", "http://p/name", "literal", "Carol", None, None, None),
+        ("iri", "http://ex/alice", "http://p/email", "literal", "a@x.org", None, None, None),
+        ("iri", "http://ex/alice", "http://p/age", "literal", "30", XSD_INT, None, None),
+        ("iri", "http://ex/carol", "http://p/age", "literal", "25", XSD_INT, None, None),
+        ("iri", "http://ex/carol", "http://p/knows", "iri", "http://ex/alice", None, None, None),
+        ("iri", "http://ex/alice", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         "iri", "http://ex/Person", None, None, None),
+    ]
+    return TripleStore(spark.createDataFrame(rows, SCHEMA))
+
+
+def _vals(df, var):
+    return sorted(r[var]["value"] for r in df.collect())
+
+
+def test_select_bgp_prefix_semicolon_comma(people):
+    out = sparql(people, """
+      PREFIX p: <http://p/>
+      SELECT ?n ?a WHERE { ?x p:name ?n ; p:age ?a . }
+    """)
+    got = {(r["n"]["value"], r["a"]["value"]) for r in out.collect()}
+    assert got == {("Alice", "30"), ("Carol", "25")}
+
+
+def test_select_star_and_rdf_type_a(people):
+    out = sparql(people, "SELECT * WHERE { ?x a <http://ex/Person> }")
+    assert _vals(out, "x") == ["http://ex/alice"]
+    assert out.columns == ["x"]
+
+
+def test_optional_filter_numeric(people):
+    out = sparql(people, """
+      PREFIX p: <http://p/>
+      SELECT ?n ?e WHERE {
+        ?x p:name ?n .
+        OPTIONAL { ?x p:email ?e }
+        FILTER (!BOUND(?e) || REGEX(?e, "@x[.]org$"))
+      }
+    """)
+    assert _vals(out, "n") == ["Alice", "Bob", "Carol"]
+    out2 = sparql(people, """
+      PREFIX p: <http://p/>
+      SELECT ?n WHERE { ?x p:name ?n ; p:age ?a . FILTER (?a > 26) }
+    """)
+    assert _vals(out2, "n") == ["Alice"]
+
+
+def test_union_and_distinct_and_order_limit(people):
+    out = sparql(people, """
+      PREFIX p: <http://p/>
+      SELECT DISTINCT ?v WHERE {
+        { ?x p:name ?v } UNION { ?x p:email ?v }
+      } ORDER BY DESC(?v) LIMIT 2
+    """)
+    assert [r["v"]["value"] for r in out.collect()] == ["a@x.org", "Carol"]
+
+
+def test_minus_and_not_exists(people):
+    q = """
+      PREFIX p: <http://p/>
+      SELECT ?n WHERE {
+        ?x p:name ?n .
+        %s { ?x p:email ?e }
+      }
+    """
+    assert _vals(sparql(people, q % "MINUS"), "n") == ["Bob", "Carol"]
+    assert _vals(sparql(people, q % "FILTER NOT EXISTS"), "n") == ["Bob", "Carol"]
+
+
+def test_values_inline(people):
+    out = sparql(people, """
+      PREFIX p: <http://p/>
+      SELECT ?n WHERE {
+        ?x p:name ?n .
+        VALUES ?x { <http://ex/alice> <http://ex/bob> }
+      }
+    """)
+    assert _vals(out, "n") == ["Alice", "Bob"]
+    # multi-var VALUES with UNDEF
+    out2 = sparql(people, """
+      PREFIX p: <http://p/>
+      SELECT ?n ?tag WHERE {
+        ?x p:name ?n .
+        VALUES (?x ?tag) { (<http://ex/alice> "keep") (<http://ex/carol> UNDEF) }
+      }
+    """)
+    got = {(r["n"]["value"], r["tag"]["value"] if r["tag"] else None)
+           for r in out2.collect()}
+    assert got == {("Alice", "keep"), ("Carol", None)}
+
+
+def test_ask(people):
+    assert sparql(people, "ASK { ?x <http://p/email> ?e }").collect()[0]["ask"] is True
+    assert sparql(people, "ASK { ?x <http://p/phone> ?e }").collect()[0]["ask"] is False
+
+
+def test_construct(people):
+    out = sparql(people, """
+      PREFIX p: <http://p/>
+      CONSTRUCT { ?x p:display ?n } WHERE { ?x p:name ?n }
+    """)
+    rows = out.collect()
+    assert len(rows) == 3
+    assert {r["p_value"] for r in rows} == {"http://p/display"}
+
+
+def test_filter_lang_datatype_kind(people):
+    out = sparql(people, """
+      PREFIX p: <http://p/>
+      SELECT ?n WHERE { ?x p:name ?n . FILTER (LANG(?n) = "en") }
+    """)
+    assert _vals(out, "n") == ["Bob"]
+    out2 = sparql(people, f"""
+      PREFIX p: <http://p/>
+      SELECT ?a WHERE {{ ?x p:age ?a . FILTER (DATATYPE(?a) = <{XSD_INT}>) }}
+    """)
+    assert len(out2.collect()) == 2
+    out3 = sparql(people, """
+      PREFIX p: <http://p/>
+      SELECT ?q WHERE { ?x p:knows ?q . FILTER (isIRI(?q)) }
+    """)
+    assert _vals(out3, "q") == ["http://ex/alice"]
+
+
+def test_typed_literal_and_bound_object(people):
+    # bound literal object matches by LEXICAL form (documented looseness)
+    out = sparql(people, 'SELECT ?x WHERE { ?x <http://p/age> "30" }')
+    assert _vals(out, "x") == ["http://ex/alice"]
+    # typed literal in FILTER equality compares numerically
+    out2 = sparql(people, """
+      PREFIX p: <http://p/>
+      SELECT ?x WHERE { ?x p:age ?a . FILTER (?a = 30) }
+    """)
+    assert _vals(out2, "x") == ["http://ex/alice"]
+
+
+def test_parser_hard_failures(people):
+    for q, exc in [
+        ("SELECT ?x WHERE { ?x <http://p/a>+ ?y }", SparqlError),
+        ("SELECT (COUNT(?x) AS ?n) WHERE { ?x ?p ?o }", SparqlUnsupported),
+        ("SELECT ?x WHERE { ?x ?p ?o } GROUP BY ?x", SparqlUnsupported),
+        ("SELECT ?x WHERE { ?x ?p ?o } OFFSET 5", SparqlUnsupported),
+        ("SELECT ?x WHERE { BIND(1 AS ?x) }", SparqlUnsupported),
+        ("DESCRIBE <http://ex/alice>", SparqlUnsupported),
+        ("SELECT ?x WHERE { GRAPH ?g { ?x ?p ?o } }", SparqlUnsupported),
+        ("SELECT ?x WHERE { ?x foaf:name ?n }", SparqlError),  # undeclared
+        ("SELECT ?zz WHERE { ?x <http://p/name> ?n }", SparqlError),
+        ("SELECT ?x", SparqlError),
+    ]:
+        with pytest.raises(exc):
+            sparql(people, q)
+
+
+def test_parse_query_ast_shapes():
+    ast = parse_query("""
+      PREFIX p: <http://p/>
+      SELECT DISTINCT ?n WHERE {
+        ?x p:name ?n . OPTIONAL { ?x p:email ?e }
+        FILTER (?n != "Zed")
+      } ORDER BY ?n LIMIT 5
+    """)
+    assert ast.form == "select" and ast.distinct and ast.limit == 5
+    assert ast.select_vars == ["n"] and ast.order == [("n", True)]
+    assert len(ast.where.patterns) == 1
+    assert len(ast.where.optionals) == 1
+    assert len(ast.where.filters) == 1
