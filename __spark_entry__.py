@@ -2434,6 +2434,38 @@ def sparql_text_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "sparql_text_agg",
+    """
+    SELECT c_mktsegment AS seg, count(*) AS n, min(c_acctbal) AS lo
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def sparql_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-form SPARQL aggregation end-to-end: the parser's
+    (AGG(...) AS ?out) projections + GROUP BY compile to
+    algebra.aggregate_solutions — one hash aggregation exchange. MIN is a
+    selection aggregate (bit-identical cross-engine; the lexical→double
+    round trip is exact for Java shortest-round-trip lexicals)."""
+    from p5_rdf_rdb2rdf_spark.sparql import sparql
+    from p5_rdf_rdb2rdf_spark.store import DirectMappingStore
+
+    tables = _load(spark, sf_dir, ["customer"])
+    store = DirectMappingStore(
+        spark, {"customer": tables["customer"]}, TPCH_CONSTRAINTS, base=BASE
+    )
+    sol = sparql(
+        store,
+        f"""
+        SELECT ?seg (COUNT(*) AS ?n) (MIN(?b) AS ?lo) WHERE {{
+          ?c <{BASE}customer#c_mktsegment> ?seg ;
+             <{BASE}customer#c_acctbal> ?b .
+        }} GROUP BY ?seg
+        """,
+    )
+    return sol.select(F.col("seg.value").alias("seg"), "n", "lo")
+
+
 # --- W3C conformance-style cases through the driver contract ----------------
 # (tests/test_w3c_cases.py holds the full spec corpus; these three expose the
 # composite-PK, IRI-encoding, language-tag and named-graph constructs to the

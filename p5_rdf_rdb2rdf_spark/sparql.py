@@ -19,10 +19,16 @@ Supported:
   compare via lexical→double, ``BOUND REGEX STR LANG DATATYPE isIRI
   isLiteral isBlank``, parentheses
 - solution modifiers: ``ORDER BY [ASC|DESC](?v)…``, ``LIMIT n``
+- aggregates: ``SELECT (COUNT(*) AS ?n) (SUM(?v) AS ?s) … GROUP BY ?g``
+  — COUNT/COUNT(DISTINCT ?v)/SUM/AVG/MIN/MAX/SAMPLE/GROUP_CONCAT via
+  :func:`.algebra.aggregate_solutions` (its lenient-numeric and
+  deterministic GROUP_CONCAT/SAMPLE refinements apply); aggregate
+  outputs are plain typed columns, group vars stay term structs
 
 Out of scope (raise ``SparqlUnsupported``): property paths in query text
-(use :func:`.algebra.path_closure` directly), GROUP BY/aggregates in
-text form (use :func:`.algebra.aggregate_solutions`), subqueries,
+(use :func:`.algebra.path_closure` directly), ``HAVING``, ORDER BY or
+DISTINCT over aggregate results (sort/dedupe the returned frame),
+subqueries,
 ``GRAPH``/named graphs, ``DESCRIBE`` text form, ``OFFSET``, ``BIND``,
 federated ``SERVICE``. Bound literal OBJECTS in triple patterns match by
 lexical form (``get_statements`` value semantics — a pattern object
@@ -144,6 +150,8 @@ class _Query:
     where: _Group | None = None
     order: list = field(default_factory=list)  # (var, asc)
     limit: int | None = None
+    aggs: dict = field(default_factory=dict)  # out -> (func, var|None)
+    group_by: list = field(default_factory=list)  # grouping var names
 
 
 # --- parser --------------------------------------------------------------------
@@ -209,14 +217,20 @@ class _Parser:
             q.select_vars = None
         else:
             vs = []
-            while self.peek().kind == "var":
-                vs.append(self.next().text[1:])
-            if self.peek().kind == "op" and self.peek().text == "(":
-                raise SparqlUnsupported(
-                    "aggregate/expression projections are outside the "
-                    "supported subset — use algebra.aggregate_solutions"
-                )
-            if not vs:
+            while True:
+                t = self.peek()
+                if t.kind == "var":
+                    vs.append(self.next().text[1:])
+                    continue
+                if t.kind == "op" and t.text == "(":
+                    self.next()
+                    out, spec = self._agg_projection()
+                    if out in q.aggs or out in vs:
+                        raise SparqlError(f"duplicate projection ?{out}")
+                    q.aggs[out] = spec
+                    continue
+                break
+            if not vs and not q.aggs:
                 raise SparqlError("SELECT needs ?vars or *")
             q.select_vars = vs
         if self.at_kw("WHERE"):
@@ -224,6 +238,43 @@ class _Parser:
         q.where = self._group()
         self._modifiers(q)
         return q
+
+    _AGG_KWS = {
+        "COUNT": "count", "SUM": "sum", "AVG": "avg", "MIN": "min",
+        "MAX": "max", "SAMPLE": "sample", "GROUP_CONCAT": "group_concat",
+    }
+
+    def _agg_projection(self) -> "tuple[str, tuple]":
+        """Inside '(': AGG '(' [DISTINCT] (?v | *) ')' AS ?out ')'."""
+        t = self.next()
+        if t.kind != "kw" or t.text not in self._AGG_KWS:
+            raise SparqlUnsupported(
+                "expression projections are outside the supported subset "
+                "(only aggregate projections are)"
+            )
+        func = self._AGG_KWS[t.text]
+        self.expect("op", "(")
+        distinct = False
+        if self.at_kw("DISTINCT"):
+            self.next()
+            distinct = True
+        if self.peek().kind == "op" and self.peek().text == "*":
+            self.next()
+            var = None
+        else:
+            var = self.expect("var").text[1:]
+        self.expect("op", ")")
+        if distinct:
+            if func != "count" or var is None:
+                raise SparqlUnsupported(
+                    "DISTINCT inside aggregates is supported only for "
+                    "COUNT(DISTINCT ?v)"
+                )
+            func = "count_distinct"
+        self.expect("kw", "AS")
+        out = self.expect("var").text[1:]
+        self.expect("op", ")")
+        return out, (func, var)
 
     def _construct(self) -> _Query:
         self.next()
@@ -238,10 +289,17 @@ class _Parser:
         return q
 
     def _modifiers(self, q: _Query) -> None:
-        if self.at_kw("GROUP", "HAVING"):
+        if self.at_kw("GROUP"):
+            self.next()
+            self.expect("kw", "BY")
+            while self.peek().kind == "var":
+                q.group_by.append(self.next().text[1:])
+            if not q.group_by:
+                raise SparqlError("GROUP BY needs at least one ?var")
+        if self.at_kw("HAVING"):
             raise SparqlUnsupported(
-                "GROUP BY/HAVING are outside the supported subset — use "
-                "algebra.aggregate_solutions"
+                "HAVING is outside the supported subset — filter the "
+                "returned frame"
             )
         if self.at_kw("ORDER"):
             self.next()
@@ -695,6 +753,44 @@ def sparql(store, query: str) -> DataFrame:
                 )
             )
         return A.construct(sol, tpl)
+    if ast.group_by and not ast.aggs:
+        # GROUP BY with no aggregates = one row per group (the group keys)
+        stray = [v for v in (ast.select_vars or []) if v not in ast.group_by]
+        if stray:
+            raise SparqlError(
+                f"non-aggregated SELECT vars must be in GROUP BY: {stray}"
+            )
+        keys = ast.select_vars or ast.group_by
+        return A.distinct_solutions(A.project(sol, *keys))
+    if ast.aggs:
+        # aggregate query: GROUP BY vars (or one global group), agg
+        # outputs become plain typed columns
+        if ast.distinct:
+            raise SparqlUnsupported(
+                "SELECT DISTINCT with aggregates is outside the subset"
+            )
+        if ast.order:
+            raise SparqlUnsupported(
+                "ORDER BY on aggregate results is outside the subset — "
+                "sort the returned frame"
+            )
+        stray = [v for v in (ast.select_vars or []) if v not in ast.group_by]
+        if stray:
+            raise SparqlError(
+                f"non-aggregated SELECT vars must be in GROUP BY: {stray}"
+            )
+        missing = [v for v in ast.group_by if v not in sol.columns]
+        if missing:
+            raise SparqlError(f"GROUP BY of unbound variables: {missing}")
+        if ast.group_by:
+            out = A.aggregate_solutions(sol, ast.group_by, ast.aggs)
+        else:
+            out = A.aggregate_solutions(
+                sol.withColumn("__g", F.lit(1)), ["__g"], ast.aggs
+            ).drop("__g")
+        keep = [*(ast.select_vars or []), *ast.aggs.keys()]
+        out = out.select(*keep) if keep else out
+        return out.limit(ast.limit) if ast.limit is not None else out
     # select — SPARQL modifier order: project+DISTINCT first, then
     # ORDER/LIMIT slice the distinct projected solutions
     if ast.select_vars is not None:

@@ -165,8 +165,8 @@ def test_typed_literal_and_bound_object(people):
 def test_parser_hard_failures(people):
     for q, exc in [
         ("SELECT ?x WHERE { ?x <http://p/a>+ ?y }", SparqlError),
-        ("SELECT (COUNT(?x) AS ?n) WHERE { ?x ?p ?o }", SparqlUnsupported),
-        ("SELECT ?x WHERE { ?x ?p ?o } GROUP BY ?x", SparqlUnsupported),
+        ("SELECT (1 + ?x AS ?n) WHERE { ?x ?p ?o }", SparqlError),
+        ("SELECT ?o WHERE { ?x ?p ?o } GROUP BY ?x", SparqlError),
         ("SELECT ?x WHERE { ?x ?p ?o } OFFSET 5", SparqlUnsupported),
         ("SELECT ?x WHERE { BIND(1 AS ?x) }", SparqlUnsupported),
         ("DESCRIBE <http://ex/alice>", SparqlUnsupported),
@@ -192,3 +192,44 @@ def test_parse_query_ast_shapes():
     assert len(ast.where.patterns) == 1
     assert len(ast.where.optionals) == 1
     assert len(ast.where.filters) == 1
+
+
+def test_group_by_without_aggregates_is_distinct_keys(people):
+    out = sparql(people, """
+      PREFIX p: <http://p/>
+      SELECT ?x WHERE { ?x ?p ?o } GROUP BY ?x
+    """)
+    assert _vals(out, "x") == sorted(
+        {"http://ex/alice", "http://ex/bob", "http://ex/carol"})
+
+
+def test_aggregates_group_by_text(people):
+    out = sparql(people, """
+      PREFIX p: <http://p/>
+      SELECT ?x (COUNT(*) AS ?n) (MIN(?a) AS ?lo) WHERE {
+        ?x p:age ?a .
+      } GROUP BY ?x
+    """)
+    got = {(r["x"]["value"], r["n"], r["lo"]) for r in out.collect()}
+    assert got == {("http://ex/alice", 1, 30.0), ("http://ex/carol", 1, 25.0)}
+    # global group (no GROUP BY), COUNT DISTINCT
+    row = sparql(people, """
+      PREFIX p: <http://p/>
+      SELECT (COUNT(DISTINCT ?x) AS ?d) (SUM(?a) AS ?s)
+      WHERE { ?x p:age ?a }
+    """).collect()[0]
+    assert row["d"] == 2 and row["s"] == 55.0
+
+
+def test_aggregate_text_failures(people):
+    from p5_rdf_rdb2rdf_spark.sparql import SparqlError, SparqlUnsupported
+    with pytest.raises(SparqlError, match="must be in GROUP BY"):
+        sparql(people, "SELECT ?x (COUNT(*) AS ?n) WHERE { ?x ?p ?o }")
+    with pytest.raises(SparqlUnsupported, match="HAVING"):
+        sparql(people, ("SELECT (COUNT(*) AS ?n) WHERE { ?x ?p ?o } "
+                        "GROUP BY ?x HAVING (?n > 1)"))
+    with pytest.raises(SparqlUnsupported, match="COUNT"):
+        sparql(people, "SELECT (SUM(DISTINCT ?a) AS ?s) WHERE { ?x ?p ?a }")
+    with pytest.raises(SparqlUnsupported, match="ORDER BY on aggregate"):
+        sparql(people, ("SELECT (COUNT(*) AS ?n) WHERE { ?x ?p ?o } "
+                        "ORDER BY ?n"))
