@@ -233,3 +233,38 @@ def test_aggregate_text_failures(people):
     with pytest.raises(SparqlUnsupported, match="ORDER BY on aggregate"):
         sparql(people, ("SELECT (COUNT(*) AS ?n) WHERE { ?x ?p ?o } "
                         "ORDER BY ?n"))
+
+
+def test_parser_totality_fuzz():
+    """The tokenizer/parser must be TOTAL over arbitrary input: any string
+    either parses or raises SparqlError — never an unhandled exception
+    (no Spark needed; pure parser)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from p5_rdf_rdb2rdf_spark.sparql import SparqlError, parse_query
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=80))
+    def run(q):
+        try:
+            parse_query(q)
+        except SparqlError:
+            pass
+
+    run()
+
+    # structured fuzz: near-miss SPARQL fragments
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.sampled_from([
+        "SELECT", "WHERE", "{", "}", "?x", "?p", "?o", "OPTIONAL",
+        "FILTER", "(", ")", "UNION", ".", ";", ",", "<http://x>",
+        '"lit"', "42", "a", "ASK", "LIMIT", "ORDER", "BY", "=", "&&",
+    ]), max_size=14), st.randoms())
+    def run2(parts, _):
+        try:
+            parse_query(" ".join(parts))
+        except SparqlError:
+            pass
+
+    run2()
