@@ -18,7 +18,9 @@ Supported:
 - FILTER expressions: ``|| && !``, comparisons, arithmetic-free numeric
   compare via lexical→double, ``BOUND REGEX STR LANG DATATYPE isIRI
   isLiteral isBlank``, parentheses
-- solution modifiers: ``ORDER BY [ASC|DESC](?v)…``, ``LIMIT n``
+- solution modifiers: ``ORDER BY [ASC|DESC](?v)…``, ``LIMIT n``,
+  ``OFFSET n`` (OFFSET under ORDER BY forces the full sort — the
+  top-k TakeOrderedAndProject shortcut only applies without OFFSET)
 - aggregates: ``SELECT (COUNT(*) AS ?n) (SUM(?v) AS ?s) … GROUP BY ?g``
   — COUNT/COUNT(DISTINCT ?v)/SUM/AVG/MIN/MAX/SAMPLE/GROUP_CONCAT via
   :func:`.algebra.aggregate_solutions` (its lenient-numeric and
@@ -29,7 +31,7 @@ Out of scope (raise ``SparqlUnsupported``): property paths in query text
 (use :func:`.algebra.path_closure` directly), ``HAVING``, ORDER BY or
 DISTINCT over aggregate results (sort/dedupe the returned frame),
 subqueries,
-``GRAPH``/named graphs, ``DESCRIBE`` text form, ``OFFSET``, ``BIND``,
+``GRAPH``/named graphs, ``DESCRIBE`` text form, ``BIND``,
 federated ``SERVICE``. Bound literal OBJECTS in triple patterns match by
 lexical form (``get_statements`` value semantics — a pattern object
 ``"30"`` also matches ``"30"^^xsd:integer``); FILTER equality, by
@@ -151,6 +153,7 @@ class _Query:
     order: list = field(default_factory=list)  # (var, asc)
     limit: int | None = None
     aggs: dict = field(default_factory=dict)  # out -> (func, var|None)
+    offset: int | None = None
     group_by: list = field(default_factory=list)  # grouping var names
 
 
@@ -318,11 +321,13 @@ class _Parser:
                 q.order.append((var, asc))
             if not q.order:
                 raise SparqlError("ORDER BY needs at least one sort key")
-        if self.at_kw("OFFSET"):
-            raise SparqlUnsupported("OFFSET is outside the supported subset")
-        if self.at_kw("LIMIT"):
-            self.next()
-            q.limit = int(self.expect("num").text)
+        while self.at_kw("LIMIT", "OFFSET"):
+            which = self.next().text
+            n = int(self.expect("num").text)
+            if which == "LIMIT":
+                q.limit = n
+            else:
+                q.offset = n
         if self.peek().kind != "eof":
             raise SparqlError(f"trailing content: {self.peek().text!r}")
 
@@ -762,6 +767,13 @@ def sparql(store, query: str) -> DataFrame:
             )
         keys = ast.select_vars or ast.group_by
         return A.distinct_solutions(A.project(sol, *keys))
+    def _slice(df):
+        if ast.offset:
+            df = df.offset(ast.offset)
+        if ast.limit is not None:
+            df = df.limit(ast.limit)
+        return df
+
     if ast.aggs:
         # aggregate query: GROUP BY vars (or one global group), agg
         # outputs become plain typed columns
@@ -790,7 +802,7 @@ def sparql(store, query: str) -> DataFrame:
             ).drop("__g")
         keep = [*(ast.select_vars or []), *ast.aggs.keys()]
         out = out.select(*keep) if keep else out
-        return out.limit(ast.limit) if ast.limit is not None else out
+        return _slice(out)
     # select — SPARQL modifier order: project+DISTINCT first, then
     # ORDER/LIMIT slice the distinct projected solutions
     if ast.select_vars is not None:
@@ -806,19 +818,21 @@ def sparql(store, query: str) -> DataFrame:
                 )
             sol = A.distinct_solutions(A.project(sol, *ast.select_vars))
             if ast.order:
-                sol = A.order_limit(sol, ast.order, ast.limit)
-            elif ast.limit is not None:
-                sol = sol.limit(ast.limit)
-            return sol
+                sol = A.order_limit(sol, ast.order,
+                                    None if ast.offset else ast.limit)
+                return _slice(sol) if ast.offset else sol
+            return _slice(sol)
         if ast.order:
-            sol = A.order_limit(sol, ast.order, ast.limit)
-        elif ast.limit is not None:
-            sol = sol.limit(ast.limit)
+            sol = A.order_limit(sol, ast.order,
+                                None if ast.offset else ast.limit)
+            sol = _slice(sol) if ast.offset else sol
+        else:
+            sol = _slice(sol)
         return A.project(sol, *ast.select_vars)
     if ast.distinct:
         sol = A.distinct_solutions(sol)
     if ast.order:
-        sol = A.order_limit(sol, ast.order, ast.limit)
-    elif ast.limit is not None:
-        sol = sol.limit(ast.limit)
-    return sol
+        sol = A.order_limit(sol, ast.order,
+                            None if ast.offset else ast.limit)
+        return _slice(sol) if ast.offset else sol
+    return _slice(sol)

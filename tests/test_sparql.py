@@ -167,7 +167,6 @@ def test_parser_hard_failures(people):
         ("SELECT ?x WHERE { ?x <http://p/a>+ ?y }", SparqlError),
         ("SELECT (1 + ?x AS ?n) WHERE { ?x ?p ?o }", SparqlError),
         ("SELECT ?o WHERE { ?x ?p ?o } GROUP BY ?x", SparqlError),
-        ("SELECT ?x WHERE { ?x ?p ?o } OFFSET 5", SparqlUnsupported),
         ("SELECT ?x WHERE { BIND(1 AS ?x) }", SparqlUnsupported),
         ("DESCRIBE <http://ex/alice>", SparqlUnsupported),
         ("SELECT ?x WHERE { GRAPH ?g { ?x ?p ?o } }", SparqlUnsupported),
@@ -192,6 +191,19 @@ def test_parse_query_ast_shapes():
     assert len(ast.where.patterns) == 1
     assert len(ast.where.optionals) == 1
     assert len(ast.where.filters) == 1
+
+
+def test_offset_limit(people):
+    base = """
+      PREFIX p: <http://p/>
+      SELECT ?v WHERE { ?x p:name ?v } ORDER BY ?v %s
+    """
+    assert [r["v"]["value"] for r in sparql(people, base % "OFFSET 1 LIMIT 1").collect()] == ["Bob"]
+    assert [r["v"]["value"] for r in sparql(people, base % "LIMIT 1 OFFSET 2").collect()] == ["Carol"]
+    # OFFSET without ORDER BY slices an arbitrary-but-valid subset
+    assert sparql(people, """
+      SELECT ?v WHERE { ?x <http://p/name> ?v } OFFSET 2
+    """).count() == 1
 
 
 def test_group_by_without_aggregates_is_distinct_keys(people):
