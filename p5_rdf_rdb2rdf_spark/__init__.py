@@ -13,6 +13,13 @@ plus W3C spec sections):
 - ``RDF::RDB2RDF::DirectMapping::Store`` -> :mod:`.store`
 - row loop + RDF::Trine emission -> :mod:`.compiler` (IR -> DataFrame plan)
 
+Beyond the reference's construction surface (it hands query answering to
+RDF::Trine), this engine also ships the query/validation/enrichment layer
+a constructed KG needs: :mod:`.algebra` (SPARQL algebra over BGP solution
+frames), :mod:`.sparql` (a SPARQL text subset front end), :mod:`.ops.validate`
+(SHACL-lite shape validation), and :mod:`.reasoning` (rhoDF RDFS
+forward chaining) — all plain Catalyst-visible DataFrame plans.
+
 Everything here derives from public knowledge only: the Apache Spark API and
 the W3C R2RML (https://www.w3.org/TR/r2rml/) and Direct Mapping
 (https://www.w3.org/TR/rdb-direct-mapping/) Recommendations.
