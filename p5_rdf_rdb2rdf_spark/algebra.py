@@ -26,8 +26,9 @@ Scale notes (the 10^12-triple read):
   common case, and the one where strict equality IS the SPARQL
   semantics). Nesting OPTIONALs so that a shared variable may arrive
   *unbound* from the left (non-well-designed) is rejected at runtime when
-  detectable statically (a shared var that only exists on the left via a
-  previous ``optional``) — see ``_optional_vars`` tracking.
+  detectable statically: a shared variable that is NULLABLE on either
+  side (introduced by a previous ``optional`` or a variable-misaligned
+  ``union``) makes the operator refuse.
 - ``union`` is a bag-semantics ``unionByName(allowMissingColumns=True)``;
   variables absent from one branch surface as NULL structs (SPARQL
   unbound). No shuffle.
@@ -152,15 +153,15 @@ def optional(left: DataFrame, right: DataFrame) -> DataFrame:
     """
     shared = sorted(set(left.columns) & set(right.columns))
     for v in shared:
-        fld = left.schema[v]
-        if fld.nullable:
-            raise ValueError(
-                f"optional(): shared variable ?{v} may be unbound on the "
-                "left (it was introduced by a previous optional/union); "
-                "this non-well-designed pattern has no equi-join plan — "
-                "restructure the query so ?{v} is bound by the required "
-                "part".replace("{v}", v)
-            )
+        for side, frame in (("left", left), ("right", right)):
+            if frame.schema[v].nullable:
+                raise ValueError(
+                    f"optional(): shared variable ?{v} may be unbound on "
+                    f"the {side} (it was introduced by a previous "
+                    "optional/union); this non-well-designed pattern has "
+                    "no equi-join plan — restructure the query so the "
+                    "variable is bound by the required part"
+                )
     if not shared:
         return left.join(right, F.lit(True), "left")
     rr = right
@@ -285,12 +286,14 @@ def not_exists(left: DataFrame, right: DataFrame) -> DataFrame:
     everything: a left anti join on TRUE."""
     shared = sorted(set(left.columns) & set(right.columns))
     for v in shared:
-        if left.schema[v].nullable:
-            raise ValueError(
-                f"not_exists(): shared variable ?{v} may be unbound on the "
-                "left (introduced by a previous optional/union); no "
-                "equi-join plan exists for the non-well-designed case"
-            )
+        for side, frame in (("left", left), ("right", right)):
+            if frame.schema[v].nullable:
+                raise ValueError(
+                    f"not_exists(): shared variable ?{v} may be unbound on "
+                    f"the {side} (introduced by a previous optional/union);"
+                    " no equi-join plan exists for the non-well-designed"
+                    " case"
+                )
     if not shared:
         return left.join(right, F.lit(True), "left_anti")
     rr = right.select([F.col(v).alias(f"__r_{v}") for v in shared])

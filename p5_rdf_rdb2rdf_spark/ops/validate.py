@@ -49,7 +49,7 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..terms import RDF_TYPE
+from ..terms import KIND_LITERAL, RDF_TYPE
 
 __all__ = ["Shape", "validate_shapes"]
 
@@ -157,6 +157,20 @@ def validate_shapes(triples: DataFrame, shapes: list[Shape]) -> DataFrame:
                 & (F.col("o_value") == sh.focus_class)
             )
             return t.select(F.col("s_value").alias("focus")).distinct()
+        if sh.inverse:
+            # inverse-path focus nodes live on the OBJECT side; a node
+            # known only as a resource object (never a subject) is still
+            # a focus — subjects-only would silently skip its min/max
+            # count checks
+            return (
+                triples.select(F.col("s_value").alias("focus"))
+                .unionByName(
+                    triples.where(F.col("o_kind") != KIND_LITERAL).select(
+                        F.col("o_value").alias("focus")
+                    )
+                )
+                .distinct()
+            )
         return triples.select(F.col("s_value").alias("focus")).distinct()
 
     # --- cardinality: one shared aggregation exchange for every shape ---
@@ -252,18 +266,29 @@ def validate_shapes(triples: DataFrame, shapes: list[Shape]) -> DataFrame:
             )
         if sh.min_value is not None or sh.max_value is not None:
             num = F.col("v_value").try_cast("double")
-            cond = F.lit(False)
-            if sh.min_value is not None:
-                cond = cond | (num < sh.min_value)
-            if sh.max_value is not None:
-                cond = cond | (num > sh.max_value)
-            comp = "minValue" if sh.min_value is not None else "maxValue"
+            under = (
+                num < sh.min_value if sh.min_value is not None else F.lit(False)
+            )
+            over = (
+                num > sh.max_value if sh.max_value is not None else F.lit(False)
+            )
             # a NULL cast (non-numeric lexical) is datatype's concern, not
-            # a bound violation: NULL comparison is NULL -> row not kept
+            # a bound violation: NULL comparison is NULL -> row not kept;
+            # component labels per ROW (a shape may declare both bounds)
             out.append(
                 v()
-                .where(cond)
-                .select(*_viol(F.col("focus"), sh.shape_id, comp, F.col("v_value")))
+                .where(
+                    F.coalesce(under, F.lit(False))
+                    | F.coalesce(over, F.lit(False))
+                )
+                .select(
+                    F.col("focus"),
+                    F.lit(sh.shape_id).alias("shape_id"),
+                    F.when(F.coalesce(under, F.lit(False)), F.lit("minValue"))
+                    .otherwise(F.lit("maxValue"))
+                    .alias("violation"),
+                    F.col("v_value").cast("string").alias("detail"),
+                )
             )
         if sh.object_class is not None:
             members = triples.where(

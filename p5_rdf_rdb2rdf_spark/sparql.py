@@ -87,9 +87,11 @@ _KEYWORDS = {
     "DESC", "LIMIT", "ASK", "CONSTRUCT", "BOUND", "REGEX", "STR", "LANG",
     "DATATYPE", "ISIRI", "ISURI", "ISLITERAL", "ISBLANK", "TRUE", "FALSE",
     "A",
+    # supported modifiers/aggregates
+    "GROUP", "OFFSET", "COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE",
+    "GROUP_CONCAT", "AS",
     # recognized-but-unsupported (clean error instead of parse garbage)
-    "GROUP", "OFFSET", "BIND", "GRAPH", "SERVICE", "DESCRIBE", "HAVING",
-    "COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT", "AS",
+    "BIND", "GRAPH", "SERVICE", "DESCRIBE", "HAVING",
 }
 
 
@@ -558,13 +560,12 @@ class _Parser:
 
 
 def _unescape(s: str) -> str:
-    return (
-        s.replace("\\\\", "\x00")
-        .replace('\\"', '"')
-        .replace("\\n", "\n")
-        .replace("\\t", "\t")
-        .replace("\x00", "\\")
-    )
+    """Full Turtle-style escape handling — reuses the vendored parser's
+    table (\\n \\t \\r \\b \\f quotes, \\uXXXX, \\UXXXXXXXX) instead of
+    re-implementing a weaker copy."""
+    from .turtle import _unescape as _turtle_unescape
+
+    return _turtle_unescape(s)
 
 
 def parse_query(q: str) -> "_Query":
@@ -595,28 +596,54 @@ def _compile_expr(e, columns: "set[str]") -> Column:
         op, l, r = e[1], e[2], e[3]
         lc, ln = _operand(l, columns)
         rc, rn = _operand(r, columns)
-        # numeric comparison when either side is numeric-typed; else lexical
-        numeric = ln or rn
-        a = _as_num(l, columns) if numeric else lc
-        b = _as_num(r, columns) if numeric else rc
-        if op == "=":
-            return a == b
-        if op == "!=":
-            return a != b
-        if op == "<":
-            return a < b
-        if op == ">":
-            return a > b
-        if op == "<=":
-            return a <= b
-        return a >= b
+
+        def apply(a, b):
+            if op == "=":
+                return a == b
+            if op == "!=":
+                return a != b
+            if op == "<":
+                return a < b
+            if op == ">":
+                return a > b
+            if op == "<=":
+                return a <= b
+            return a >= b
+
+        if ln or rn:
+            # a parse-time numeric literal forces numeric comparison
+            return apply(_as_num(l, columns), _as_num(r, columns))
+        # runtime dispatch: numeric when BOTH sides evaluate numerically
+        # (var-vs-var / var-vs-string cases), lexical otherwise — a
+        # "10"^^xsd:integer never compares below "9" as a string
+        an, bn = _as_num(l, columns), _as_num(r, columns)
+        return F.when(
+            an.isNotNull() & bn.isNotNull(), apply(an, bn)
+        ).otherwise(apply(lc, rc))
     if kind == "call":
         fn, args = e[1], e[2]
+        def arity(lo, hi=None):
+            hi2 = lo if hi is None else hi
+            if not (lo <= len(args) <= hi2):
+                raise SparqlError(
+                    f"{fn} takes {lo}"
+                    + (f"-{hi2}" if hi2 != lo else "")
+                    + f" arguments, got {len(args)}"
+                )
+
         if fn == "BOUND":
+            arity(1)
             return A.bound(_arg_var(args[0]))
         if fn == "REGEX":
+            arity(2, 3)
             pat = _arg_literal(args[1])
+            if len(args) == 3:
+                flags = _arg_literal(args[2])
+                if not set(flags) <= set("ismx"):
+                    raise SparqlUnsupported(f"REGEX flags {flags!r}")
+                pat = f"(?{flags})" + pat
             return _operand(args[0], columns)[0].rlike(pat)
+        arity(1)
         if fn == "STR":
             return _operand(args[0], columns)[0]
         if fn == "LANG":
@@ -663,7 +690,12 @@ def _as_num(e, columns) -> Column:
     if e[0] == "term" and e[1][0] == "var":
         return A.var_num(e[1][1])
     if e[0] == "term" and e[1][0] == "literal":
-        return F.lit(float(e[1][1]))
+        try:
+            return F.lit(float(e[1][1]))
+        except ValueError:
+            # non-numeric string literal: typed NULL, so the runtime
+            # numeric-dispatch branch can never fire against it
+            return F.lit(None).cast("double")
     return _operand(e, columns)[0].try_cast("double")
 
 
@@ -705,7 +737,26 @@ def _eval_group(store, g: _Group, spark) -> DataFrame:
             acc = vf
         else:
             shared = sorted(set(acc.columns) & set(vf.columns))
-            acc = acc.join(vf, shared) if shared else acc.crossJoin(vf)
+            if not shared:
+                acc = acc.crossJoin(vf)
+            else:
+                # SPARQL compatibility: an UNDEF (NULL) entry in the
+                # VALUES row is compatible with ANY binding — so the join
+                # condition per shared var is (vf-side NULL) OR equal.
+                # VALUES frames are query-literal-sized; the non-equi
+                # condition still broadcasts.
+                rv = vf
+                for v in shared:
+                    rv = rv.withColumnRenamed(v, f"__v_{v}")
+                cond = None
+                for v in shared:
+                    c = F.col(f"__v_{v}").isNull() | (
+                        F.col(f"__v_{v}") == F.col(v)
+                    )
+                    cond = c if cond is None else (cond & c)
+                acc = acc.join(rv, cond, "inner").drop(
+                    *[f"__v_{v}" for v in shared]
+                )
     for og in g.optionals:
         acc = A.optional(acc, _eval_group(store, og, spark))
     for mg in g.minuses:
@@ -737,11 +788,30 @@ def sparql(store, query: str) -> DataFrame:
 
         spark = SparkSession.getActiveSession()
     sol = _eval_group(store, ast.where, spark)
+
+    def _slice(df):
+        if ast.offset:
+            df = df.offset(ast.offset)
+        if ast.limit is not None:
+            df = df.limit(ast.limit)
+        return df
+
+    def _order_slice(df):
+        if ast.order:
+            df = A.order_limit(df, ast.order,
+                               None if ast.offset else ast.limit)
+            return _slice(df) if ast.offset else df
+        return _slice(df)
+
     if ast.form == "ask":
         return sol.limit(1).groupBy().agg(
             (F.count(F.lit(1)) > 0).alias("ask")
         )
     if ast.form == "construct":
+        # solution modifiers apply to the solution sequence BEFORE
+        # templating (CONSTRUCT ... WHERE {...} ORDER BY ?x LIMIT n
+        # templates only the selected n solutions)
+        sol = _order_slice(sol)
         tpl = []
         for p in ast.template:
             for t in (p.s, p.p, p.o):
@@ -766,14 +836,7 @@ def sparql(store, query: str) -> DataFrame:
                 f"non-aggregated SELECT vars must be in GROUP BY: {stray}"
             )
         keys = ast.select_vars or ast.group_by
-        return A.distinct_solutions(A.project(sol, *keys))
-    def _slice(df):
-        if ast.offset:
-            df = df.offset(ast.offset)
-        if ast.limit is not None:
-            df = df.limit(ast.limit)
-        return df
-
+        return _order_slice(A.distinct_solutions(A.project(sol, *keys)))
     if ast.aggs:
         # aggregate query: GROUP BY vars (or one global group), agg
         # outputs become plain typed columns

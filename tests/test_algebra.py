@@ -424,3 +424,19 @@ def test_path_closure_reflexive_and_inverse(spark):
         ("http://ex/B", "http://ex/A"), ("http://ex/C", "http://ex/B"),
         ("http://ex/C", "http://ex/A"),
     }
+
+
+def test_optional_rejects_nullable_right_side(spark):
+    """A shared variable nullable on the RIGHT (bound only inside a nested
+    OPTIONAL there) must refuse too — SQL NULL-joins-nothing is not SPARQL
+    unbound-is-compatible."""
+    import pytest
+    st = _store(spark)
+    left = st.bgp([("?p", "http://p/name", "?n"),
+                   ("?p", "http://p/age", "?e")])
+    inner = A.optional(st.bgp([("?q", "http://p/knows", "?p2")]),
+                       st.bgp([("?q", "http://p/email", "?e")]))
+    with pytest.raises(ValueError, match="right"):
+        A.optional(left, inner.select("q", "e"))
+    with pytest.raises(ValueError, match="right"):
+        A.not_exists(left, inner.select("e"))

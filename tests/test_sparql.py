@@ -280,3 +280,86 @@ def test_parser_totality_fuzz():
             pass
 
     run2()
+
+
+# --- round-7 self-review regression pins ------------------------------------
+
+
+def test_values_undef_in_shared_var_is_compatible(people):
+    """SPARQL compatibility: an UNDEF entry in a VALUES row joins ANY
+    binding of that variable (a plain equi-join would silently drop it)."""
+    out = sparql(people, """
+      PREFIX p: <http://p/>
+      SELECT ?n WHERE {
+        ?x p:name ?n .
+        VALUES (?x ?n) { (UNDEF "Alice") (<http://ex/bob> UNDEF) }
+      }
+    """)
+    # row 1: ?x free, ?n must equal "Alice" -> alice's binding
+    # row 2: ?x = bob, ?n free -> bob's binding
+    assert _vals(out, "n") == ["Alice", "Bob"]
+
+
+def test_construct_applies_solution_modifiers(people):
+    out = sparql(people, """
+      PREFIX p: <http://p/>
+      CONSTRUCT { ?x p:display ?n } WHERE { ?x p:name ?n }
+      ORDER BY ?n LIMIT 2
+    """)
+    got = {r["o_value"] for r in out.collect()}
+    assert got == {"Alice", "Bob"}  # first 2 by name, not all 3
+
+
+def test_bare_group_by_applies_modifiers(people):
+    out = sparql(people, """
+      SELECT ?x WHERE { ?x ?p ?o } GROUP BY ?x ORDER BY ?x LIMIT 1
+    """)
+    assert _vals(out, "x") == ["http://ex/alice"]
+
+
+def test_var_var_comparison_is_numeric_when_both_numeric(spark):
+    rows = [
+        ("iri", "http://ex/i", "http://p/lo", "literal", "9",
+         "http://www.w3.org/2001/XMLSchema#integer", None, None),
+        ("iri", "http://ex/i", "http://p/hi", "literal", "10",
+         "http://www.w3.org/2001/XMLSchema#integer", None, None),
+    ]
+    st = TripleStore(spark.createDataFrame(rows, SCHEMA))
+    # lexically "10" < "9" is TRUE; numerically it is FALSE — must be empty
+    out = sparql(st, """
+      PREFIX p: <http://p/>
+      SELECT ?x WHERE { ?x p:lo ?a ; p:hi ?b . FILTER (?b < ?a) }
+    """)
+    assert out.count() == 0
+    out2 = sparql(st, """
+      PREFIX p: <http://p/>
+      SELECT ?x WHERE { ?x p:lo ?a ; p:hi ?b . FILTER (?a < ?b) }
+    """)
+    assert out2.count() == 1
+
+
+def test_regex_flags_and_arity(people):
+    out = sparql(people, """
+      PREFIX p: <http://p/>
+      SELECT ?n WHERE { ?x p:name ?n . FILTER (REGEX(?n, "^alice", "i")) }
+    """)
+    assert _vals(out, "n") == ["Alice"]
+    with pytest.raises(SparqlError, match="arguments"):
+        sparql(people, 'SELECT ?n WHERE { ?x <http://p/name> ?n . '
+                       'FILTER (REGEX(?n)) }')
+    with pytest.raises(SparqlError, match="arguments"):
+        sparql(people, 'SELECT ?n WHERE { ?x <http://p/name> ?n . '
+                       'FILTER (BOUND(?n, ?n)) }')
+    with pytest.raises(SparqlUnsupported, match="flags"):
+        sparql(people, 'SELECT ?n WHERE { ?x <http://p/name> ?n . '
+                       'FILTER (REGEX(?n, "a", "g")) }')
+
+
+def test_unicode_escape_in_literal(spark):
+    rows = [("iri", "http://ex/c", "http://p/name", "literal",
+             "café", None, None, None)]
+    st = TripleStore(spark.createDataFrame(rows, SCHEMA))
+    out = sparql(st, r'''
+      SELECT ?x WHERE { ?x <http://p/name> ?n . FILTER (?n = "café") }
+    ''')
+    assert out.count() == 1

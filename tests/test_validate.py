@@ -154,3 +154,39 @@ def test_cardinality_shapes_share_one_aggregation(spark):
     )
     # the counting aggregate appears once in the optimized logical plan
     assert plan.count("count(1)") == 1
+
+
+def test_min_and_max_value_label_per_row(spark):
+    """A shape declaring BOTH bounds must label each violation by the bound
+    it actually crossed (previously the label was statically 'minValue')."""
+    rows = [
+        ("iri", "http://ex/young", "http://p/age", "literal", "10", XSD_INT, None, None),
+        ("iri", "http://ex/old", "http://p/age", "literal", "50", XSD_INT, None, None),
+        ("iri", "http://ex/mid", "http://p/age", "literal", "30", XSD_INT, None, None),
+    ]
+    g = spark.createDataFrame(rows, SCHEMA)
+    v = _viol(validate_shapes(g, [
+        Shape("age-band", "http://p/age", min_value=20.0, max_value=40.0),
+    ]))
+    assert v == {
+        ("http://ex/young", "age-band", "minValue", "10"),
+        ("http://ex/old", "age-band", "maxValue", "50"),
+    }
+
+
+def test_inverse_untargeted_counts_object_only_nodes(spark):
+    """A node known ONLY as a resource object must still be a focus for
+    untargeted inverse-path cardinality shapes."""
+    rows = [
+        ("iri", "http://ex/a", "http://p/knows", "iri", "http://ex/popular", None, None, None),
+        ("iri", "http://ex/b", "http://p/knows", "iri", "http://ex/popular", None, None, None),
+        ("iri", "http://ex/b", "http://p/label", "literal", "b", None, None, None),
+    ]
+    g = spark.createDataFrame(rows, SCHEMA)
+    v = _viol(validate_shapes(g, [
+        Shape("few-followers", "http://p/knows", inverse=True, max_count=1),
+    ]))
+    # 'popular' never appears as a subject, but has 2 inverse values
+    assert ("http://ex/popular", "few-followers", "maxCount", "2") in v
+    # the literal object "b" must NOT be a focus node
+    assert not any(f == "b" for f, *_ in v)
