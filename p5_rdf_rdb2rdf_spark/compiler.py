@@ -48,8 +48,47 @@ from .terms import (
     natural_datatype,
 )
 
+# --------------------------------------------------------------------------
+# constant-Column memo: every F.lit / F.col / isNotNull is a py4j round trip
+# (~0.1-0.3 ms), and a whole-schema map builds hundreds of patterns out of a
+# small vocabulary of constants — profiling showed >60% of dm_full's
+# driver-side build inside py4j socket reads (guide §1: the bench pays plan
+# construction on every run). Columns wrap immutable JVM expressions, so
+# reusing one object across plans is safe; the cache is keyed on the live
+# SparkContext (a restarted JVM invalidates stale references) and capped
+# (mapping vocabularies are schema-scale, but don't trust that blindly).
+
+_CONST_CACHE: dict = {}
+_CONST_CACHE_CAP = 4096
+
+
+def _cached_col(key, build) -> Column:
+    from pyspark import SparkContext
+
+    tag = id(SparkContext._active_spark_context)
+    ent = _CONST_CACHE.get(key)
+    if ent is not None and ent[0] == tag:
+        return ent[1]
+    col = build()
+    if len(_CONST_CACHE) < _CONST_CACHE_CAP or key in _CONST_CACHE:
+        _CONST_CACHE[key] = (tag, col)
+    return col
+
+
+def _lit(v) -> Column:
+    return _cached_col(("lit", v), lambda: F.lit(v))
+
+
+def _ccol(name: str) -> Column:
+    return _cached_col(("col", name), lambda: F.col(name))
+
+
+def _notnull(name: str) -> Column:
+    return _cached_col(("nn", name), lambda: F.col(name).isNotNull())
+
+
 def _null() -> Column:
-    return F.lit(None).cast("string")
+    return _cached_col(("nullstr",), lambda: F.lit(None).cast("string"))
 
 
 class CompileError(ValueError):
@@ -98,40 +137,42 @@ def compile_term(tm: TermMap, schema: T.StructType, colmap: dict[str, str] | Non
     substituted into a **template** whose term type is IRI — never to
     rr:column-based IRIs, literals, or blank labels.
     """
-    extra_guards = [F.col(_resolve(c, colmap)).isNotNull() for c in tm.guard_columns]
+    extra_guards = [_notnull(_resolve(c, colmap)) for c in tm.guard_columns]
 
     if tm.kind == "constant":
-        kind = F.lit(tm.constant_kind or tm.term_type)
+        kind = _lit(tm.constant_kind or tm.term_type)
         return TermExprs(
             kind,
-            F.lit(tm.constant_value),
-            F.lit(tm.datatype) if tm.datatype else _null(),
-            F.lit(tm.language) if tm.language else _null(),
+            _lit(tm.constant_value),
+            _lit(tm.datatype) if tm.datatype else _null(),
+            _lit(tm.language) if tm.language else _null(),
             extra_guards,
         )
 
     if tm.kind == "column":
         src = _resolve(tm.column, colmap)
         dtype = _field_type(schema, src)
-        col = F.col(src)
-        guards = [col.isNotNull()] + extra_guards
+        guards = [_notnull(src)] + extra_guards
         if tm.term_type == KIND_LITERAL:
-            lex = lexical_form(col, dtype)
+            lex = _cached_col(
+                ("lex", src, str(dtype)), lambda: lexical_form(F.col(src), dtype)
+            )
             if tm.language:
-                return TermExprs(F.lit(KIND_LITERAL), lex, _null(), F.lit(tm.language), guards)
+                return TermExprs(_lit(KIND_LITERAL), lex, _null(), _lit(tm.language), guards)
             dt = tm.datatype or natural_datatype(dtype)
-            return TermExprs(F.lit(KIND_LITERAL), lex, F.lit(dt) if dt else _null(), _null(), guards)
+            return TermExprs(_lit(KIND_LITERAL), lex, _lit(dt) if dt else _null(), _null(), guards)
         # termType IRI/BlankNode from a column: value used verbatim (no encoding)
-        return TermExprs(F.lit(tm.term_type), col.cast("string"), _null(), _null(), guards)
+        value = _cached_col(("colstr", src), lambda: F.col(src).cast("string"))
+        return TermExprs(_lit(tm.term_type), value, _null(), _null(), guards)
 
     if tm.kind == "expr":
         guards = extra_guards
-        value = F.expr(tm.expr)
+        value = _cached_col(("expr", tm.expr), lambda: F.expr(tm.expr).cast("string"))
         if tm.term_type == KIND_LITERAL:
-            dt = F.lit(tm.datatype) if tm.datatype else _null()
-            lang = F.lit(tm.language) if tm.language else _null()
-            return TermExprs(F.lit(KIND_LITERAL), value.cast("string"), dt, lang, guards)
-        return TermExprs(F.lit(tm.term_type), value.cast("string"), _null(), _null(), guards)
+            dt = _lit(tm.datatype) if tm.datatype else _null()
+            lang = _lit(tm.language) if tm.language else _null()
+            return TermExprs(_lit(KIND_LITERAL), value, dt, lang, guards)
+        return TermExprs(_lit(tm.term_type), value, _null(), _null(), guards)
 
     if tm.kind == "callable":
         # SURVEY.md O35 — Simple.pm coderef terms. The callable runs as an
@@ -158,22 +199,25 @@ def compile_term(tm: TermMap, schema: T.StructType, colmap: dict[str, str] | Non
         encode = tm.term_type == KIND_IRI
         for is_col, seg in parts:
             if not is_col:
-                exprs.append(F.lit(seg))
+                exprs.append(_lit(seg))
                 continue
             src = _resolve(seg, colmap)
             dtype = _field_type(schema, src)
-            col = F.col(src)
-            guards.append(col.isNotNull())
-            lex = lexical_form(col, dtype)
-            if encode and not lexical_is_iri_safe(dtype):
-                lex = iri_safe_col(lex)
-            exprs.append(lex)
+            guards.append(_notnull(src))
+
+            def _build(src=src, dtype=dtype):
+                lex = lexical_form(F.col(src), dtype)
+                if encode and not lexical_is_iri_safe(dtype):
+                    lex = iri_safe_col(lex)
+                return lex
+
+            exprs.append(_cached_col(("tmpl", src, str(dtype), encode), _build))
         value = F.concat(*exprs) if len(exprs) > 1 else exprs[0]
         if tm.term_type == KIND_LITERAL:
-            dt = F.lit(tm.datatype) if tm.datatype else _null()
-            lang = F.lit(tm.language) if tm.language else _null()
-            return TermExprs(F.lit(KIND_LITERAL), value, dt, lang, guards)
-        return TermExprs(F.lit(tm.term_type), value, _null(), _null(), guards)
+            dt = _lit(tm.datatype) if tm.datatype else _null()
+            lang = _lit(tm.language) if tm.language else _null()
+            return TermExprs(_lit(KIND_LITERAL), value, dt, lang, guards)
+        return TermExprs(_lit(tm.term_type), value, _null(), _null(), guards)
 
     raise CompileError(f"unknown term map kind {tm.kind!r}")
 
@@ -262,8 +306,16 @@ def _pattern_df(
     g: TermExprs | None,
 ) -> DataFrame:
     guards = s.guards + p.guards + o.guards + (g.guards if g else [])
+    # ONE combined .where(): each Dataset transformation is an eager py4j
+    # round-trip + analysis pass, and a whole-schema map builds hundreds of
+    # patterns — chaining one where per guard measurably dominated dm_full's
+    # driver-side build time (guide §1: the bench pays plan construction on
+    # every run). Catalyst sees the identical conjunctive filter either way.
+    cond = None
     for guard in guards:
-        df = df.where(guard)
+        cond = guard if cond is None else (cond & guard)
+    if cond is not None:
+        df = df.where(cond)
     return df.select(
         s.kind.alias("s_kind"),
         s.value.alias("s_value"),
@@ -414,9 +466,24 @@ def compile_mapping(
         )
     if not patterns:
         return spark.createDataFrame([], schema="s_kind string, s_value string, p_value string, o_kind string, o_value string, o_datatype string, o_lang string, g_value string")
-    df = patterns[0]
-    for p in patterns[1:]:
-        df = df.unionByName(p)
+    df = union_all(patterns)
     if dedup:
         df = df.dropDuplicates(TRIPLE_COLUMNS)
     return df
+
+
+def union_all(parts: list[DataFrame]) -> DataFrame:
+    """Balanced unionByName fold.
+
+    Every Dataset transformation eagerly re-analyzes its whole logical plan,
+    so the naive left-deep ``reduce(unionByName, parts)`` over N patterns
+    costs O(N^2) analyzer tree visits — ~2s of driver time for the
+    whole-schema map's ~100 patterns, paid on every bench run (guide §1).
+    A balanced tree analyzes O(N log N) nodes; Catalyst flattens nested
+    unions (CombineUnions), so the optimized/physical plan is identical."""
+    while len(parts) > 1:
+        parts = [
+            parts[i].unionByName(parts[i + 1]) if i + 1 < len(parts) else parts[i]
+            for i in range(0, len(parts), 2)
+        ]
+    return parts[0]

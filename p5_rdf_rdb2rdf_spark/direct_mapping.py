@@ -37,10 +37,11 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from .ir import Mapping, PredicateObjectMap, RefObject, TermMap, TriplesMap
+from .ir import Mapping, PredicateObjectMap, TermMap, TriplesMap
 from .iri import iri_safe_py
-from .terms import KIND_BLANK, KIND_LITERAL
+from .terms import KIND_BLANK, KIND_IRI, KIND_LITERAL, RDF_TYPE, natural_datatype
 
 
 def load_manifest(path: str) -> dict[str, Any]:
@@ -153,55 +154,88 @@ def _compact_dedup_map(
     base: str,
 ) -> DataFrame:
     """Set-semantics DM for a declared-but-UNENFORCED-key table, with the
-    dedup pushed BEFORE IRI construction onto narrow native-typed columns.
+    dedup pushed BEFORE IRI construction onto narrow rows — as ONE
+    single-scan unpivot with ONE dedup exchange (r8 optimization; guide
+    §2.4 "remove shuffles outright").
 
     A DM triple of a PK-subject table is an injective function of
-    (pk values, pattern, object-column value): the subject template, the
-    lexical form, and IRI-safe encoding are all injective per column type.
-    So ``distinct`` over each pattern's source columns — (pk) for the type
-    triple, (pk, col) for a literal, (pk, fk cols) for a reference — yields
-    exactly the distinct triple set, while the exchange carries small
-    native values (ints, dates) instead of fully-expanded IRI strings
-    (measured ~100x fewer shuffle bytes on lineitem: ~19 narrow distincts
-    of <=3 primitive columns vs one shuffle of 9M 8-string rows). Each
-    pattern re-scans only its own parquet columns (columnar pruning; the
-    pk columns are re-read per pattern — the tradeoff that buys compiler
-    reuse; a single-scan unpivot would save those re-reads at the cost of
-    duplicating term construction outside the compiler).
+    (pk values, pattern, object lexical): the subject template, the lexical
+    form, and IRI-safe encoding are all injective per column type. The r7
+    shape exploited that with one ``distinct`` per pattern over its source
+    columns — correct, but ~20 separate shuffle stages and ~20 re-scans of
+    the parquet for a lineitem-shaped table (measured: the dominant cost of
+    the dm_full bench). The unpivot keeps the same narrow-key insight while
+    collapsing the plan:
 
-    Term construction itself is entirely reused: each pattern becomes a
-    one-POM TriplesMap over its distinct narrow projection, compiled by the
-    ordinary compiler (NULL suppression, lexical forms, encoding identical
-    to the trusted path)."""
-    from .compiler import compile_mapping
+      scan once -> inline(array(struct(pattern_id, object_lexical)))
+           -> dropDuplicates(pk..., pattern_id, object_lexical)   # 1 exchange
+           -> subject/predicate/datatype attached from pattern_id
+
+    The exchange still carries native pk values + a short lexical (never a
+    subject IRI), and total shuffled rows are identical to the per-pattern
+    form (each pattern contributed its rows to its own shuffle before).
+
+    Equivalence with the per-pattern ``distinct`` form (pinned by
+    tests/test_direct_mapping.py against global dropDuplicates):
+      - per-pattern object encodings are injective, so distinct over
+        (pk, pattern, lexical) == distinct over (pk, pattern, native value);
+      - float/double columns are normalized -0.0 -> 0.0 BEFORE
+        lexicalization, matching how aggregation keys normalize signed
+        zeros in the native-``distinct`` form;
+      - NULL suppression commutes with distinct (both are per-row functions
+        of the key columns): each pattern's object expr is wrapped in its
+        own guards and nulled-out rows are filtered before the dedup.
+    Term construction (lexical forms, IRI-safe encoding, guards) is still
+    the compiler's own ``compile_term``."""
+    from .compiler import compile_term
 
     cons = manifest.get(table, {"pk": [], "fks": []})
     pk: list[str] = cons["pk"]
-    m = Mapping(base=base)
-    sources: dict[str, DataFrame] = {}
+
+    # -0.0 -> 0.0 on float/double columns: the former per-pattern native
+    # ``distinct`` normalized signed zeros via aggregation-key semantics;
+    # normalizing up front keeps the lexical-keyed dedup identical.
+    norm_cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (T.FloatType, T.DoubleType)):
+            zero = F.lit(0.0).cast(f.dataType)
+            norm_cols.append(
+                F.when(F.col(f.name) == zero, zero)
+                .otherwise(F.col(f.name))
+                .alias(f.name)
+            )
+        else:
+            norm_cols.append(F.col(f.name))
+    src = df.select(*norm_cols)
+    schema = src.schema
+
     subject = TermMap(kind="template", template=_row_node_template(base, table, pk))
 
-    def add(name: str, cols: list[str], poms: list[PredicateObjectMap], classes=()):
-        key = f"__dm_compact__{table}__{name}"
-        sources[key] = df.select(*dict.fromkeys(cols)).distinct()
-        tm = TriplesMap(
-            name=f"dm:{table}#{name}", table=key, subject=subject, classes=list(classes)
-        )
-        tm.poms.extend(poms)
-        m.triples_maps[tm.name] = tm
+    # one (predicate IRI, object kind, object datatype, object-lexical expr)
+    # per pattern; the expr is NULL exactly when the pattern's guards fail
+    pats: list[tuple[str, str, str | None]] = []
+    ovals: list[Any] = []
 
-    add("rdf-type", pk, [], classes=[f"{base}{iri_safe_py(table)}"])
-    for f in df.schema.fields:
+    def add(p_iri: str, o_kind: str, o_datatype: str | None, term: TermMap | None):
+        if term is None:  # rdf:type — constant object, no guards of its own
+            val, guards = F.lit(f"{base}{iri_safe_py(table)}"), []
+        else:
+            tx = compile_term(term, schema)
+            val, guards = tx.value, tx.guards
+        cond = None
+        for g in guards:
+            cond = g if cond is None else (cond & g)
+        ovals.append(F.when(cond, val) if cond is not None else val)
+        pats.append((p_iri, o_kind, o_datatype))
+
+    add(RDF_TYPE, KIND_IRI, None, None)
+    for f in schema.fields:
         prop = f"{base}{iri_safe_py(table)}#{iri_safe_py(f.name)}"
         add(
-            f"col-{f.name}",
-            [*pk, f.name],
-            [
-                PredicateObjectMap(
-                    predicates=[TermMap.iri_constant(prop)],
-                    objects=[TermMap(kind="column", column=f.name, term_type=KIND_LITERAL)],
-                )
-            ],
+            prop,
+            KIND_LITERAL,
+            natural_datatype(f.dataType),
+            TermMap(kind="column", column=f.name, term_type=KIND_LITERAL),
         )
     seen_fks: set[tuple] = set()
     for fk in cons.get("fks", []):
@@ -218,21 +252,60 @@ def _compact_dedup_map(
         )
         pairs = ";".join(f"{iri_safe_py(pc)}={{{cc}}}" for pc, cc in zip(ppk, fk["cols"]))
         add(
-            "fk-" + ";".join(fk["cols"]),
-            [*pk, *fk["cols"]],
-            [
-                PredicateObjectMap(
-                    predicates=[TermMap.iri_constant(ref_iri)],
-                    objects=[
-                        TermMap(
-                            kind="template",
-                            template=f"{base}{iri_safe_py(parent)}/{pairs}",
-                        )
-                    ],
-                )
-            ],
+            ref_iri,
+            KIND_IRI,
+            None,
+            TermMap(kind="template", template=f"{base}{iri_safe_py(parent)}/{pairs}"),
         )
-    return compile_mapping(spark, m, tables=sources, dedup=False)
+
+    subj = compile_term(subject, schema)
+    subj_cond = None
+    for g in subj.guards:
+        subj_cond = g if subj_cond is None else (subj_cond & g)
+
+    arr = F.array(
+        *[
+            F.struct(F.lit(i).alias("__dm_pid"), v.alias("__dm_oval"))
+            for i, v in enumerate(ovals)
+        ]
+    )
+    rows = src
+    if subj_cond is not None:
+        rows = rows.where(subj_cond)
+    # ONE exchange, BEFORE the xN pattern explosion (guide §8: move the
+    # small rows once, explode after the exchange): hash-repartition the
+    # source rows by pk, so the dedup's ClusteredDistribution(pk, pid,
+    # oval) is already satisfied (HashPartitioning(pk) is a subset of the
+    # grouping keys) and dropDuplicates adds NO further exchange. The
+    # shuffle carries |rows| full-width native rows instead of
+    # |rows| x |patterns| unpivoted rows — ~an order of magnitude fewer
+    # bytes for a lineitem-shaped table — and the explosion + lexical
+    # dedup run post-shuffle at full cluster parallelism (which also
+    # fixes the 1-task scan of a small/unsplittable input).
+    pk_cols = list(dict.fromkeys(pk))
+    rows = rows.repartition(*[F.col(c) for c in pk_cols])
+    rows = (
+        rows.select(*[F.col(c) for c in pk_cols], F.inline(arr))
+        .where(F.col("__dm_oval").isNotNull())
+        .dropDuplicates([*pk_cols, "__dm_pid", "__dm_oval"])
+    )
+
+    def lut(vals: list[str | None]) -> Any:
+        return F.element_at(
+            F.array(*[F.lit(v).cast("string") for v in vals]), F.col("__dm_pid") + 1
+        )
+
+    subj_out = compile_term(subject, rows.schema)
+    return rows.select(
+        F.lit(subject.term_type).alias("s_kind"),
+        subj_out.value.alias("s_value"),
+        lut([p for p, _, _ in pats]).alias("p_value"),
+        lut([k for _, k, _ in pats]).alias("o_kind"),
+        F.col("__dm_oval").alias("o_value"),
+        lut([d for _, _, d in pats]).alias("o_datatype"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit(None).cast("string").alias("g_value"),
+    )
 
 
 def direct_map(
