@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..pipeline.cc import connected_components
+from ..spread import spread_small
 from .text import shingle_array
 
 # ---------------------------------------------------------------------------
@@ -80,8 +81,11 @@ def minhash_signatures(
 
     shingles -> H independent xxhash64(shingle, seed) mins, all inside one
     JVM projection; signature cost is O(tokens x H) per doc with zero
-    shuffle.
+    shuffle over large inputs (a small/unsplittable corpus is spread first
+    so the fold — interpreted higher-order functions, the CPU-heavy part —
+    runs at cluster parallelism instead of on the scan's single task).
     """
+    df = spread_small(df)
     sh = shingle_array(F.col(text_col), k=shingle_k)
     # one independent hash family per signature slot: xxhash64(shingle, i).
     # (An affine rehash (a*x+b) mod M of one base hash is NOT a valid
@@ -192,19 +196,30 @@ def minhash_lsh_pairs(
         ).alias("band", "bucket"),
     )
     banded = _cap_buckets(banded, ["band", "bucket"], max_bucket_size)
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # Pair generation WITHOUT the bucket self-join (r8; guide §2.4): r7
+    # self-joined the banded frame on (band, bucket), which duplicated the
+    # whole banding subtree (both join inputs recompute the explode + cap)
+    # and added the join's own exchanges. Collecting each bucket's ids into
+    # one sorted array (bounded by max_bucket_size via _cap_buckets, and
+    # collect_list skips NULL ids exactly as the self-join's < predicate
+    # dropped them) lets the i<j pair fan-out run as a JVM expression in the
+    # same stage — identical candidate set, ~half the plan. The aggregation
+    # buffer is ids only (8 bytes each, never signatures), capped per
+    # bucket; the exchange still carries (band, bucket, id) rows only.
+    grouped = banded.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("__ids")
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__ids, (x, i) -> "
+                    "transform(slice(__ids, i + 2, size(__ids) - i - 1), "
+                    "y -> struct(x, y))))"
+                )
+            ).alias("__pr")
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+        .select(F.col("__pr.x").alias("id_a"), F.col("__pr.y").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     sig_a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))

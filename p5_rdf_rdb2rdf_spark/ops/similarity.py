@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..spread import spread_small
 from .dedup import cosine_expr
 
 
@@ -40,8 +41,13 @@ def cosine_threshold_search(
     query_id_col: str = "query_id",
     threshold: float = 0.9,
 ) -> DataFrame:
-    """(query_id, vec_id, cosine) for cosine >= threshold; queries broadcast."""
-    c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    """(query_id, vec_id, cosine) for cosine >= threshold; queries broadcast.
+
+    The corpus side is spread first (no-op for big inputs): the per-row dot
+    products are interpreted higher-order folds, and a small/unsplittable
+    corpus file would otherwise score every pair on the scan's single task.
+    """
+    c = spread_small(corpus).select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("qv")
     )
@@ -124,15 +130,30 @@ def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int | None = None) ->
     )
     idx = F.sequence(F.lit(0), upper)
     planes = F.lit(list(range(n_planes)))  # array<int>: hash parity, see above
+    # r8 (guide §1.2): the fold's inner lambda used to read the component as
+    # ``try_element_at(vec, i+1)`` — but ``vec`` is typically a computed
+    # expression (a cast of the stored float array), and higher-order
+    # functions are interpreted: an expression referenced inside a lambda is
+    # re-evaluated per invocation, so every (element x plane) step re-cast
+    # the WHOLE array — O(dim^2 x planes) per row, the dominant cost of the
+    # ann_topk bench. Zipping (component, index) pairs up front evaluates
+    # ``vec`` exactly once per row; the fold's lambdas then touch only
+    # lambda variables. Addition order over (i, p) is unchanged, so buckets
+    # are bit-identical (pinned against the r7 formulation in tests).
+    # ``vec`` is pre-sliced to the index range so zip_with's null-extension
+    # reproduces try_element_at's missing->NULL->0.0 semantics exactly.
+    comp = F.slice(vec, 1, upper + 1) if dim is not None else vec
+    idxed = F.zip_with(
+        comp, idx, lambda x, i: F.struct(x.alias("x"), i.alias("i"))
+    )
     dots = F.aggregate(
-        idx,
+        idxed,
         F.array_repeat(F.lit(0.0), n_planes),
-        lambda s, i: F.zip_with(
+        lambda s, e: F.zip_with(
             s,
             planes,
             lambda acc, p: acc
-            + F.coalesce(F.try_element_at(vec, i.cast("int") + 1), F.lit(0.0))
-            * _plane_component(p, i),
+            + F.coalesce(e["x"], F.lit(0.0)) * _plane_component(p, e["i"]),
         ),
     )
     weights = F.lit([1 << p for p in range(n_planes)])
@@ -164,7 +185,10 @@ def lsh_topk(
     LSH, +n_planes x the candidates for a large recall lift). Probing
     expands the (small, broadcast) query side, never the corpus scan.
     """
-    c = corpus.select(
+    # spread a small/unsplittable corpus first: the hyperplane fold and the
+    # in-bucket cosine re-rank are the CPU cost, and both run in the scan's
+    # tasks (no-op for inputs that already feed the cluster)
+    c = spread_small(corpus).select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("v"),
         hyperplane_bucket(F.col(vec_col).cast("array<double>"), n_planes, dim).alias("bucket"),
@@ -275,7 +299,7 @@ def ivf_topk(
     path — candidate volume ~ nprobe/nlist of the corpus."""
     cmat = _normalize_rows(np.array(centroids, dtype=np.float64))
     assign = _ivf_assign_udf(cmat)
-    c = corpus.select(
+    c = spread_small(corpus).select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("v"),
         assign(F.col(vec_col).cast("array<double>")).alias("bucket"),
@@ -327,20 +351,36 @@ def sq8_quantize(
     dedup slim bands. Zero vectors quantize to all-zero with norm 0 (the
     coarse score against anything is then null-safe 0 via the guarded
     divide in :func:`sq8_topk`)."""
+    # r8 (guide §1.2): materialize the cast vector and the per-row scale as
+    # projection columns BEFORE the quantizing transform — higher-order
+    # lambdas are interpreted and re-evaluate referenced expressions per
+    # element, so ``x / scale`` with scale = an O(dim) aggregate inlined in
+    # the lambda cost O(dim^2) per row. As attributes, both are O(1) reads
+    # (CollapseProject keeps non-cheap exprs referenced more than once in
+    # their own Project). Results are bit-identical.
     v = F.col(vec_col).cast("array<double>")
+    step = df.withColumn("__sq8_v", v)
     maxabs = F.aggregate(
-        v, F.lit(0.0), lambda s, x: F.greatest(s, F.abs(x))
+        F.col("__sq8_v"), F.lit(0.0), lambda s, x: F.greatest(s, F.abs(x))
     )
-    scale = F.when(maxabs == 0.0, F.lit(1.0)).otherwise(maxabs / F.lit(127.0))
-    q = F.transform(v, lambda x: F.round(x / scale).cast("tinyint"))
+    step = step.withColumn(
+        "__sq8_scale",
+        F.when(maxabs == 0.0, F.lit(1.0)).otherwise(maxabs / F.lit(127.0)),
+    )
+    q = F.transform(
+        F.col("__sq8_v"), lambda x: F.round(x / F.col("__sq8_scale")).cast("tinyint")
+    )
+    step = step.withColumn(out_col, q)
     qn = F.sqrt(
         F.aggregate(
-            F.transform(q, lambda b: (b.cast("int") * b.cast("int")).cast("long")),
+            F.transform(
+                F.col(out_col), lambda b: (b.cast("int") * b.cast("int")).cast("long")
+            ),
             F.lit(0).cast("long"),
             lambda s, x: s + x,
         ).cast("double")
     )
-    return df.withColumn(out_col, q).withColumn(f"{out_col}_norm", qn)
+    return step.withColumn(f"{out_col}_norm", qn).drop("__sq8_v", "__sq8_scale")
 
 
 def _sq8_dot(a: Column, b: Column) -> Column:
@@ -385,7 +425,7 @@ def sq8_topk(
     if rerank_factor is not None and rerank_factor < 1:
         raise ValueError("rerank_factor must be >= 1 (or None for exhaustive)")
     cq = sq8_quantize(
-        corpus.select(F.col(id_col), F.col(vec_col)), vec_col=vec_col
+        spread_small(corpus).select(F.col(id_col), F.col(vec_col)), vec_col=vec_col
     ).select(id_col, "sq8", "sq8_norm")
     qq = sq8_quantize(
         queries.select(F.col(query_id_col), F.col(vec_col)), vec_col=vec_col

@@ -172,10 +172,17 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_tokens = token_count(t)
     n_punct = F.coalesce(F.regexp_count(t, F.lit(r"[^\w\s]")), F.lit(0))
     toks = F.split(F.trim(t), r"\s+")
-    n_stop = None
-    for w in STOPWORDS:
-        c = F.size(F.filter(toks, _tok_eq(w)))
-        n_stop = c if n_stop is None else (n_stop + c)
+    # ONE fold over the tokens (r8, guide §1.2): the former per-stopword
+    # ``size(filter(toks, ...))`` instantiated the split expression once per
+    # stopword, re-tokenizing the document |STOPWORDS| times per row.
+    # array_contains against a literal list gives the identical integer
+    # count in a single pass.
+    stop_lit = F.lit(sorted(STOPWORDS))
+    n_stop = F.aggregate(
+        toks,
+        F.lit(0),
+        lambda s, tok: s + F.when(F.array_contains(stop_lit, tok), 1).otherwise(0),
+    )
 
     out = df.withColumn("n_chars", n_chars).withColumn("n_tokens", n_tokens)
     out = out.withColumn(
@@ -220,23 +227,37 @@ def lang_id(text: Column) -> Column:
     column contract.
     """
     toks = F.split(F.trim(F.coalesce(text, F.lit(""))), r"\s+")
-    scores = []
-    for lang in sorted(LANG_MARKERS):
-        s = None
-        for w in LANG_MARKERS[lang]:
-            c = F.size(F.filter(toks, _tok_eq(w)))
-            s = c if s is None else (s + c)
-        scores.append(F.struct(s.alias("score"), F.lit(lang).alias("lang")))
-    # max over (score, reversed-lang) == argmax score w/ asc-lang tie-break
-    best = F.greatest(*[
-        F.struct(
-            sc["score"].alias("score"),
-            # invert lang byte order for tie-break: want smallest lang on tie
-            F.lit(-i).alias("nlang"),
-            sc["lang"].alias("lang"),
-        )
-        for i, sc in enumerate(scores)
-    ])
+    langs = sorted(LANG_MARKERS)
+    # ONE fold over the tokens (r8, guide §1.2): the former per-(lang,
+    # marker) ``size(filter(toks, ...))`` instantiated the split expression
+    # 16 times per row (higher-order inputs are evaluated per expression
+    # instance). The fold scores every language in a single pass: the
+    # accumulator is one counter per language, bumped when the token is in
+    # that language's marker list (a literal array-of-arrays rides the
+    # plan). The final argmax folds the zipped (score, lang) array
+    # left-to-right keeping strict improvements only, so on ties the
+    # ascending-first language wins — exactly the old greatest-over-
+    # (score, -index) tie-break (pinned identical in tests and by the
+    # text_lang_id oracle).
+    marker_lit = F.lit([LANG_MARKERS[lang] for lang in langs])
+    scores_arr = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), len(langs)),
+        lambda acc, tok: F.zip_with(
+            acc,
+            marker_lit,
+            lambda c, ms: c + F.when(F.array_contains(ms, tok), 1).otherwise(0),
+        ),
+    )
+    best = F.aggregate(
+        F.zip_with(
+            scores_arr,
+            F.lit(langs),
+            lambda s, lang: F.struct(s.alias("score"), lang.alias("lang")),
+        ),
+        F.struct(F.lit(-1).alias("score"), F.lit("und").alias("lang")),
+        lambda b, e: F.when(e["score"] > b["score"], e).otherwise(b),
+    )
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
@@ -271,12 +292,39 @@ def fingerprint64_chunks(text: Column, chunk_tokens: int = 64) -> Column:
 
 def shingle_array(text: Column, k: int = 5) -> Column:
     """Word k-gram shingles as an array<string> (JVM-side): the shared
-    building block for n-gram Jaccard and MinHash."""
+    building block for n-gram Jaccard and MinHash.
+
+    Implementation note (r8, guide §1.2 "per-task work"): the r7 form built
+    shingle i as ``concat_ws(slice(toks, i+1, k))`` inside a ``transform``
+    lambda — but higher-order functions are interpreted, and a non-trivial
+    expression referenced inside a lambda body is RE-EVALUATED per element,
+    so every shingle re-ran ``split(trim(text))`` over the whole document:
+    O(len x shingles) per row (measured as the dominant cost of the MinHash
+    bench, ~8x the fold itself). This form chains k-1 ``zip_with``s of the
+    token array against its own shifted slices; every expression argument
+    is evaluated once per row and lambda bodies touch only lambda
+    variables, giving the intended O(len x k). Output strings are
+    byte-identical (tokens from split are never NULL, so chained ``concat``
+    equals ``concat_ws``; the trailing window positions where the shifted
+    slice runs out fold to NULL and are cut by the final slice)."""
     toks = F.split(F.trim(text), r"\s+")
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    acc = toks
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, j + 1, n),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    sh = F.slice(acc, 1, n - k + 1)
+    return (
+        # NULL text: the r7 form fell through its null-propagated WHEN into
+        # a concat_ws over a null slice, yielding [''] — the same shingles
+        # as an empty document. Pinned explicitly here (callers and oracles
+        # rely on null and empty hashing identically).
+        F.when(text.isNull(), F.array(F.lit("")))
+        .when(n < k, F.array(F.concat_ws(" ", toks)))
+        .otherwise(sh)
     )
 
 
