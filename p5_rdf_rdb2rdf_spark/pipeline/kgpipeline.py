@@ -183,10 +183,61 @@ def run_pipeline(
     links = ckpt.run_stage("s3_links", _links, inputs=["s2_relations"])
 
     def _canon() -> DataFrame:
-        # CC runs over vocabulary-sized string nodes exactly as before (the
-        # link graph is corpus-size-invariant); only the OUTPUT mapping is
-        # re-encoded to the digest pairs the relations carry, so s5 joins
-        # long pairs instead of strings.
+        # CC runs over vocabulary-sized string nodes (the link graph is
+        # corpus-size-invariant); only the OUTPUT mapping is re-encoded to
+        # the digest pairs the relations carry, so s5 joins long pairs
+        # instead of strings.
+        #
+        # r8 fast path (guide §1.2 — per-stage work is pure job-scheduling
+        # latency here): when s3 already counted the links frame and it is
+        # at or below connected_components' own driver threshold, the whole
+        # canonicalization — union-find, per-component min-entity canonical,
+        # surface mapping — runs driver-side in one collect instead of ~4
+        # small Spark jobs (size probe, edge collect, local-relation
+        # group/join, stage count). Identical output by construction: the
+        # distributed path's component id is the min node, its canonical is
+        # the min 'e:'-prefixed member, components with no entity node drop
+        # out (inner join) — all reproduced below with the same string
+        # ordering. The distributed path remains for big link graphs.
+        links_rows = ckpt.lineage()["stages"].get("s3_links", {}).get("rows")
+        if links_rows is not None and links_rows <= 200_000:
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for row in links.select("surface", "entity_id").collect():
+                u, v = "s:" + row["surface"], "e:" + row["entity_id"]
+                parent.setdefault(u, u)
+                parent.setdefault(v, v)
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    parent[max(ru, rv)] = min(ru, rv)
+            members: dict = {}
+            for node in parent:
+                members.setdefault(find(node), []).append(node)
+            out_rows = []
+            for mem in members.values():
+                ents = [m for m in mem if m.startswith("e:")]
+                if not ents:
+                    continue
+                canon_ent = min(ents)[2:]
+                out_rows.extend(
+                    (m[2:], canon_ent) for m in mem if m.startswith("s:")
+                )
+            local = spark.createDataFrame(
+                sorted(out_rows), "surface string, entity_id string"
+            )
+            return local.select(
+                F.xxhash64("surface", F.lit(0)).alias("h0"),
+                F.xxhash64("surface", F.lit(1)).alias("h1"),
+                "entity_id",
+            )
         comps = connected_components(candidate_edges(links))
         mapping = canonical_mapping(comps)
         return (
