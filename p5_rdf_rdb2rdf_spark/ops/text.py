@@ -78,12 +78,20 @@ def _bpe_batch_kernel(merges: list[tuple[str, str]], want_tokens: bool):
     executor with the serialized function, exactly like the mention
     vocab."""
     ranks = {tuple(p): i for i, p in enumerate(merges)}
+    # capped insert-only cache (ADVICE r7 #4): same discipline as the
+    # fused_extractor text cache — a high-vocabulary corpus (hashes, URLs
+    # split as 'words') must not grow executor Python memory without bound
+    # over a long job; past the cap, fresh words are encoded per call but
+    # not retained.
     cache: dict[str, list[str]] = {}
+    cache_cap = 1 << 18
 
     def encode(word: str) -> list[str]:
         got = cache.get(word)
         if got is None:
-            got = cache[word] = bpe_encode_word(word, ranks)
+            got = bpe_encode_word(word, ranks)
+            if len(cache) < cache_cap:
+                cache[word] = got
         return got
 
     # NB: no type hints on the kernels — this module uses

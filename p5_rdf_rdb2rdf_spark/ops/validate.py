@@ -49,7 +49,7 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..terms import KIND_LITERAL, RDF_TYPE
+from ..terms import KIND_LITERAL, RDF_TYPE, XSD_STRING
 
 __all__ = ["Shape", "validate_shapes"]
 
@@ -142,12 +142,14 @@ def validate_shapes(triples: DataFrame, shapes: list[Shape]) -> DataFrame:
                 F.col("s_kind").alias("v_kind"),
                 F.col("s_value").alias("v_value"),
                 F.lit(None).cast("string").alias("v_datatype"),
+                F.lit(None).cast("string").alias("v_lang"),
             )
         return t.select(
             F.col("s_value").alias("focus"),
             F.col("o_kind").alias("v_kind"),
             F.col("o_value").alias("v_value"),
             F.col("o_datatype").alias("v_datatype"),
+            F.col("o_lang").alias("v_lang"),
         )
 
     def targets(sh: Shape) -> DataFrame:
@@ -244,11 +246,25 @@ def validate_shapes(triples: DataFrame, shapes: list[Shape]) -> DataFrame:
             return vals
 
         if sh.datatype is not None:
+            # RDF 1.1 / ADVICE r7 #3: the engine stores plain literals with
+            # NULL datatype (R2RML natural mapping), but a simple literal's
+            # datatype IS xsd:string — a Shape(datatype=xsd:string) must not
+            # flag every plain string. Effective datatype: the stored one,
+            # else xsd:string when there is no language tag (lang-tagged
+            # literals keep NULL here and so still violate any sh:datatype,
+            # matching SHACL, where their datatype is rdf:langString).
+            eff_dt = F.coalesce(
+                F.col("v_datatype"),
+                F.when(
+                    F.col("v_lang").isNull() | (F.col("v_lang") == ""),
+                    F.lit(XSD_STRING),
+                ),
+            )
             out.append(
                 v()
                 .where(
                     (F.col("v_kind") != "literal")
-                    | ~F.col("v_datatype").eqNullSafe(F.lit(sh.datatype))
+                    | ~eff_dt.eqNullSafe(F.lit(sh.datatype))
                 )
                 .select(*_viol(F.col("focus"), sh.shape_id, "datatype", F.col("v_value")))
             )

@@ -613,6 +613,20 @@ def _compile_expr(e, columns: "set[str]") -> Column:
         if ln or rn:
             # a parse-time numeric literal forces numeric comparison
             return apply(_as_num(l, columns), _as_num(r, columns))
+        # =/!= with a bare variable operand: RDFterm-equal, not value
+        # equality (ADVICE r7 #1 — value-only comparison made
+        # FILTER(?o = "x") match "x"@en and <x> too). The non-numeric
+        # branch compares the full term (kind/lang/datatype guards from
+        # the non-var operand, full-struct equality var-vs-var);
+        # explicitly stringified operands (STR(...)) keep value
+        # comparison, which is what STR is for.
+        term_eq = _term_equal(l, r, lc, rc)
+        if op in ("=", "!=") and term_eq is not None:
+            an, bn = _as_num(l, columns), _as_num(r, columns)
+            neq = term_eq if op == "=" else ~term_eq
+            return F.when(
+                an.isNotNull() & bn.isNotNull(), apply(an, bn)
+            ).otherwise(neq)
         # runtime dispatch: numeric when BOTH sides evaluate numerically
         # (var-vs-var / var-vs-string cases), lexical otherwise — a
         # "10"^^xsd:integer never compares below "9" as a string
@@ -686,6 +700,62 @@ def _operand(e, columns) -> "tuple[Column, bool]":
     return F.lit(t[1]), False  # iri
 
 
+_XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+
+
+def _is_bare_var(e) -> bool:
+    return e[0] == "term" and e[1][0] == "var"
+
+
+def _term_equal(l, r, lc: Column, rc: Column) -> Column | None:
+    """RDFterm-equal as a Column for ``=`` / ``!=`` when at least one
+    operand is a bare variable; ``None`` tells the caller to keep plain
+    value comparison (no bare var: constants, or explicitly stringified
+    ``STR(...)`` operands, where value semantics are the point).
+
+    ADVICE r7 #1: value-only comparison made ``FILTER(?o = "x")`` match the
+    simple literal "x", the lang-tagged "x"@en AND the IRI <x>; SPARQL
+    RDFterm-equal keeps only the simple literal. Guards come from the
+    non-var operand: kind must match, a lang-tagged query literal must
+    match the tag (case-insensitively), a simple literal matches plain
+    literals (NULL/'' lang, NULL datatype — and xsd:string, its RDF 1.1
+    synonym), a typed literal must match the datatype. Var-vs-var compares
+    the full term struct (null-safe per field via Spark's struct ordering;
+    an unbound side yields NULL and the solution is eliminated, matching
+    SPARQL's error semantics). Known simplification, documented: for
+    incomparable literal pairs (e.g. "x"@en vs "x") SPARQL raises a type
+    error, eliminating the row under BOTH = and !=; the struct form keeps
+    the row under !=."""
+    lv, rv = _is_bare_var(l), _is_bare_var(r)
+    if not (lv or rv):
+        return None
+    if lv and rv:
+        return F.col(l[1][1]) == F.col(r[1][1])
+    var_e, const_e = (l, r) if lv else (r, l)
+    if const_e[0] != "term":
+        return None  # call operand (STR/LANG/...): value semantics
+    t = F.col(var_e[1][1])
+    c = const_e[1]
+    if c[0] == "iri":
+        return (t.getField("kind") == "iri") & (t.getField("value") == F.lit(c[1]))
+    # literal: ("literal", lex, datatype|None, lang|None)
+    _, lex, dt, lang = c
+    eq = (t.getField("kind") == "literal") & (t.getField("value") == F.lit(lex))
+    lang_norm = F.lower(F.coalesce(t.getField("lang"), F.lit("")))
+    if lang:
+        return eq & (lang_norm == F.lit(lang))
+    if dt is None or dt == _XSD_STRING:
+        return (
+            eq
+            & (lang_norm == F.lit(""))
+            & (
+                t.getField("datatype").isNull()
+                | (t.getField("datatype") == F.lit(_XSD_STRING))
+            )
+        )
+    return eq & (t.getField("datatype") == F.lit(dt))
+
+
 def _as_num(e, columns) -> Column:
     if e[0] == "term" and e[1][0] == "var":
         return A.var_num(e[1][1])
@@ -696,6 +766,13 @@ def _as_num(e, columns) -> Column:
             # non-numeric string literal: typed NULL, so the runtime
             # numeric-dispatch branch can never fire against it
             return F.lit(None).cast("double")
+    if e[0] == "call":
+        # ADVICE r7 #2: an explicitly stringified operand (STR(?x) etc.)
+        # demands codepoint string comparison — returning a typed NULL here
+        # guarantees the numeric-dispatch branch never fires against it,
+        # so FILTER(STR(?a) < STR(?b)) on numeric-looking lexicals compares
+        # lexically ('10' < '9' is true).
+        return F.lit(None).cast("double")
     return _operand(e, columns)[0].try_cast("double")
 
 

@@ -363,3 +363,51 @@ def test_unicode_escape_in_literal(spark):
       SELECT ?x WHERE { ?x <http://p/name> ?n . FILTER (?n = "café") }
     ''')
     assert out.count() == 1
+
+
+def test_filter_equality_is_rdfterm_equal(spark):
+    """ADVICE r7 #1 regression: FILTER(?o = "x") must keep ONLY the simple
+    literal "x" — not the lang-tagged "x"@en, not the IRI <x>, not a
+    differently-typed literal; != is the complement on comparable terms."""
+    rows = [
+        ("iri", "http://ex/s1", "http://p/v", "literal", "x", None, None, None),
+        ("iri", "http://ex/s2", "http://p/v", "literal", "x", None, "en", None),
+        ("iri", "http://ex/s3", "http://p/v", "iri", "x", None, None, None),
+        ("iri", "http://ex/s4", "http://p/v", "literal", "x",
+         "http://www.w3.org/2001/XMLSchema#string", None, None),
+        ("iri", "http://ex/s5", "http://p/v", "literal", "y", None, None, None),
+    ]
+    st = TripleStore(spark.createDataFrame(rows, SCHEMA))
+    out = sparql(st, 'SELECT ?s WHERE { ?s <http://p/v> ?o . FILTER(?o = "x") }')
+    # simple literal AND its RDF 1.1 synonym "x"^^xsd:string survive
+    assert _vals(out, "s") == ["http://ex/s1", "http://ex/s4"]
+    out = sparql(st, 'SELECT ?s WHERE { ?s <http://p/v> ?o . FILTER(?o = "x"@en) }')
+    assert _vals(out, "s") == ["http://ex/s2"]
+    out = sparql(st, 'SELECT ?s WHERE { ?s <http://p/v> ?o . FILTER(?o = <x>) }')
+    assert _vals(out, "s") == ["http://ex/s3"]
+    # explicit STR() keeps value semantics: every term whose lexical is "x"
+    out = sparql(st, 'SELECT ?s WHERE { ?s <http://p/v> ?o . FILTER(STR(?o) = "x") }')
+    assert _vals(out, "s") == ["http://ex/s1", "http://ex/s2", "http://ex/s3", "http://ex/s4"]
+    # != is term-aware too: the lang-tagged and IRI terms differ from "y"
+    out = sparql(st, 'SELECT ?s WHERE { ?s <http://p/v> ?o . FILTER(?o != "y") }')
+    assert _vals(out, "s") == ["http://ex/s1", "http://ex/s2", "http://ex/s3", "http://ex/s4"]
+
+
+def test_filter_str_comparison_is_codepoint(spark):
+    """ADVICE r7 #2 regression: FILTER(STR(?a) < STR(?b)) on numeric-looking
+    lexicals compares as strings ('10' < '9'), never as doubles."""
+    rows = [
+        ("iri", "http://ex/a", "http://p/v", "literal", "10", None, None, None),
+        ("iri", "http://ex/b", "http://p/w", "literal", "9", None, None, None),
+    ]
+    st = TripleStore(spark.createDataFrame(rows, SCHEMA))
+    out = sparql(st, """
+      SELECT ?x WHERE { ?x <http://p/v> ?a . ?y <http://p/w> ?b .
+                        FILTER(STR(?a) < STR(?b)) }
+    """)
+    assert _vals(out, "x") == ["http://ex/a"]  # '10' < '9' codepoint-wise
+    out = sparql(st, """
+      SELECT ?x WHERE { ?x <http://p/v> ?a . ?y <http://p/w> ?b .
+                        FILTER(?a < ?b) }
+    """)
+    assert _vals(out, "x") == []  # bare vars dispatch numerically: 10 < 9

@@ -190,3 +190,24 @@ def test_inverse_untargeted_counts_object_only_nodes(spark):
     assert ("http://ex/popular", "few-followers", "maxCount", "2") in v
     # the literal object "b" must NOT be a focus node
     assert not any(f == "b" for f, *_ in v)
+
+
+def test_datatype_xsd_string_accepts_plain_literals(spark):
+    """ADVICE r7 #3 regression: the engine stores plain literals with NULL
+    datatype; a Shape(datatype=xsd:string) must treat them as xsd:string
+    (RDF 1.1 simple-literal synonym) — only genuinely differently-typed or
+    lang-tagged values violate."""
+    XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+    XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+    rows = [
+        ("iri", "http://ex/a", "http://p/v", "literal", "plain", None, None, None),
+        ("iri", "http://ex/b", "http://p/v", "literal", "typed", XSD_STRING, None, None),
+        ("iri", "http://ex/c", "http://p/v", "literal", "5", XSD_INT, None, None),
+        ("iri", "http://ex/d", "http://p/v", "literal", "hi", None, "en", None),
+    ]
+    g = spark.createDataFrame(rows, SCHEMA)
+    v = _viol(validate_shapes(g, [Shape("v-str", "http://p/v", datatype=XSD_STRING)]))
+    assert v == {
+        ("http://ex/c", "v-str", "datatype", "5"),
+        ("http://ex/d", "v-str", "datatype", "hi"),
+    }
