@@ -146,6 +146,111 @@ def direct_mapping_ir(
     return m
 
 
+def _dm_patterns(
+    table: str,
+    schema: T.StructType,
+    manifest: dict[str, Any],
+    base: str,
+) -> tuple[TermMap, list[tuple[str, str, str | None]], list[Any]]:
+    """The table's DM pattern list in unpivot form (for the unenforced-key
+    compact dedup map): the subject TermMap plus, per pattern,
+    (predicate IRI, object kind, object datatype) and an object-lexical
+    Column that is NULL exactly when the pattern's guards fail. Term
+    construction (lexical forms, IRI-safe encoding, guards) is the
+    compiler's own ``compile_term``."""
+    from .compiler import compile_term
+
+    cons = manifest.get(table, {"pk": [], "fks": []})
+    pk: list[str] = cons["pk"]
+    subject = TermMap(kind="template", template=_row_node_template(base, table, pk))
+
+    pats: list[tuple[str, str, str | None]] = []
+    ovals: list[Any] = []
+
+    def add(p_iri: str, o_kind: str, o_datatype: str | None, term: TermMap | None):
+        if term is None:  # rdf:type — constant object, no guards of its own
+            val, guards = F.lit(f"{base}{iri_safe_py(table)}"), []
+        else:
+            tx = compile_term(term, schema)
+            val, guards = tx.value, tx.guards
+        cond = None
+        for g in guards:
+            cond = g if cond is None else (cond & g)
+        ovals.append(F.when(cond, val) if cond is not None else val)
+        pats.append((p_iri, o_kind, o_datatype))
+
+    add(RDF_TYPE, KIND_IRI, None, None)
+    for f in schema.fields:
+        prop = f"{base}{iri_safe_py(table)}#{iri_safe_py(f.name)}"
+        add(
+            prop,
+            KIND_LITERAL,
+            natural_datatype(f.dataType),
+            TermMap(kind="column", column=f.name, term_type=KIND_LITERAL),
+        )
+    seen_fks: set[tuple] = set()
+    for fk in cons.get("fks", []):
+        fk_key = (tuple(fk["cols"]), fk["parent"], tuple(fk.get("parent_cols", [])))
+        if fk_key in seen_fks:
+            continue
+        seen_fks.add(fk_key)
+        parent = fk["parent"]
+        ppk: list[str] = manifest.get(parent, {}).get("pk", [])
+        if not ppk or list(fk.get("parent_cols", [])) != ppk:
+            continue
+        ref_iri = f"{base}{iri_safe_py(table)}#ref-" + ";".join(
+            iri_safe_py(c) for c in fk["cols"]
+        )
+        pairs = ";".join(f"{iri_safe_py(pc)}={{{cc}}}" for pc, cc in zip(ppk, fk["cols"]))
+        add(
+            ref_iri,
+            KIND_IRI,
+            None,
+            TermMap(kind="template", template=f"{base}{iri_safe_py(parent)}/{pairs}"),
+        )
+    return subject, pats, ovals
+
+
+def _pattern_lut(vals: list[str | None]) -> Any:
+    """pattern-id -> constant metadata column (predicate IRI / kind /
+    datatype), as one array literal indexed by ``__dm_pid``.
+
+    Built as ONE ``F.expr`` instead of ``F.array(*[F.lit(v).cast(...)])``:
+    each lit+cast is two eager py4j round-trips, and three luts of ~13-20
+    entries per table measured ~0.5s of every dm_full plan build (the bench
+    pays construction per rep; guide §1). The SQL literal escaping covers
+    the only metacharacters a string literal has (backslash, quote)."""
+
+    def q(v: str | None) -> str:
+        if v is None:
+            return "NULL"
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    items = ",".join(q(v) for v in vals)
+    return F.expr(
+        f"element_at(cast(array({items}) as array<string>), __dm_pid + 1)"
+    )
+
+
+def _finish_unpivot(rows: DataFrame, subject: TermMap, pats: list[tuple]) -> DataFrame:
+    """Attach subject / predicate / kind / datatype to exploded
+    (pk..., __dm_pid, __dm_oval) rows — the shared tail of both unpivot
+    maps."""
+    from .compiler import compile_term
+
+    subj_out = compile_term(subject, rows.schema)
+    return rows.select(
+        F.lit(subject.term_type).alias("s_kind"),
+        subj_out.value.alias("s_value"),
+        _pattern_lut([p for p, _, _ in pats]).alias("p_value"),
+        _pattern_lut([k for _, k, _ in pats]).alias("o_kind"),
+        F.col("__dm_oval").alias("o_value"),
+        _pattern_lut([d for _, _, d in pats]).alias("o_datatype"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit(None).cast("string").alias("g_value"),
+    )
+
+
 def _compact_dedup_map(
     spark: SparkSession,
     table: str,
@@ -209,54 +314,7 @@ def _compact_dedup_map(
     src = df.select(*norm_cols)
     schema = src.schema
 
-    subject = TermMap(kind="template", template=_row_node_template(base, table, pk))
-
-    # one (predicate IRI, object kind, object datatype, object-lexical expr)
-    # per pattern; the expr is NULL exactly when the pattern's guards fail
-    pats: list[tuple[str, str, str | None]] = []
-    ovals: list[Any] = []
-
-    def add(p_iri: str, o_kind: str, o_datatype: str | None, term: TermMap | None):
-        if term is None:  # rdf:type — constant object, no guards of its own
-            val, guards = F.lit(f"{base}{iri_safe_py(table)}"), []
-        else:
-            tx = compile_term(term, schema)
-            val, guards = tx.value, tx.guards
-        cond = None
-        for g in guards:
-            cond = g if cond is None else (cond & g)
-        ovals.append(F.when(cond, val) if cond is not None else val)
-        pats.append((p_iri, o_kind, o_datatype))
-
-    add(RDF_TYPE, KIND_IRI, None, None)
-    for f in schema.fields:
-        prop = f"{base}{iri_safe_py(table)}#{iri_safe_py(f.name)}"
-        add(
-            prop,
-            KIND_LITERAL,
-            natural_datatype(f.dataType),
-            TermMap(kind="column", column=f.name, term_type=KIND_LITERAL),
-        )
-    seen_fks: set[tuple] = set()
-    for fk in cons.get("fks", []):
-        fk_key = (tuple(fk["cols"]), fk["parent"], tuple(fk.get("parent_cols", [])))
-        if fk_key in seen_fks:
-            continue
-        seen_fks.add(fk_key)
-        parent = fk["parent"]
-        ppk: list[str] = manifest.get(parent, {}).get("pk", [])
-        if not ppk or list(fk.get("parent_cols", [])) != ppk:
-            continue
-        ref_iri = f"{base}{iri_safe_py(table)}#ref-" + ";".join(
-            iri_safe_py(c) for c in fk["cols"]
-        )
-        pairs = ";".join(f"{iri_safe_py(pc)}={{{cc}}}" for pc, cc in zip(ppk, fk["cols"]))
-        add(
-            ref_iri,
-            KIND_IRI,
-            None,
-            TermMap(kind="template", template=f"{base}{iri_safe_py(parent)}/{pairs}"),
-        )
+    subject, pats, ovals = _dm_patterns(table, schema, manifest, base)
 
     subj = compile_term(subject, schema)
     subj_cond = None
@@ -289,23 +347,7 @@ def _compact_dedup_map(
         .where(F.col("__dm_oval").isNotNull())
         .dropDuplicates([*pk_cols, "__dm_pid", "__dm_oval"])
     )
-
-    def lut(vals: list[str | None]) -> Any:
-        return F.element_at(
-            F.array(*[F.lit(v).cast("string") for v in vals]), F.col("__dm_pid") + 1
-        )
-
-    subj_out = compile_term(subject, rows.schema)
-    return rows.select(
-        F.lit(subject.term_type).alias("s_kind"),
-        subj_out.value.alias("s_value"),
-        lut([p for p, _, _ in pats]).alias("p_value"),
-        lut([k for _, k, _ in pats]).alias("o_kind"),
-        F.col("__dm_oval").alias("o_value"),
-        lut([d for _, _, d in pats]).alias("o_datatype"),
-        F.lit(None).cast("string").alias("o_lang"),
-        F.lit(None).cast("string").alias("g_value"),
-    )
+    return _finish_unpivot(rows, subject, pats)
 
 
 def direct_map(
@@ -402,6 +444,15 @@ def direct_map(
         for t, df in selected.items()
         if t not in enforced_pk and t not in unenforced_pk
     }
+    # enforced-PK tables keep the per-pattern union compile (r8 measured
+    # decision, guide §1.1): a single-scan inline unpivot was built and
+    # A/B-benched against it — the unpivot halves plan-construction time
+    # (~0.6s vs ~0.8s/build) but loses Catalyst's constant-folding branch
+    # prune, so (a) a count/aggregate consumer must compute every object
+    # lexical instead of counting filtered source rows, and (b) a
+    # predicate-bound consumer scans every column instead of 2 (the
+    # test_plan_audit pruning contract). Warm min-of-4 at sf0.1: per-pattern
+    # 2.53s total vs unpivot 2.88s. The per-pattern form stays.
     parts = [_compile(sub, dd) for sub, dd in
              ((enforced_pk, False), (no_pk, True)) if sub]
     # unenforced-key tables: compact per-pattern dedup on narrow source

@@ -281,36 +281,54 @@ def run_pipeline(
         rel = relations.join(subj, ["subj_h0", "subj_h1"], "inner").join(
             obj, ["obj_h0", "obj_h1"], "inner"
         )
-        nulls = [
+        # ONE pass over rel and ONE dedup exchange (r8; guide §2.4): the r7
+        # shape ran separate fact/prov dropDuplicates branches, so the
+        # broadcast joins above executed twice and the plan paid two shuffle
+        # barriers of 3M rows each. Tag-exploding both compact key tuples
+        # into (kind, a, b, c) keeps the keys short (entity ids / doc ids,
+        # never IRIs), dedups both sets in one exchange of the same total
+        # bytes, and rebuilds each set's triple shape from the kind column
+        # post-shuffle. Equivalence: kind 0 rows are exactly distinct
+        # (subj_entity, pred, obj_entity), kind 1 rows exactly distinct
+        # (doc_id, subj_entity) (doc_id is a string key; c is constant NULL
+        # and dropDuplicates treats NULL keys as equal), and the two sets
+        # can never collide across kinds — the union below is therefore the
+        # same distinct-by-construction triple set the write relies on.
+        pairs = rel.select(
+            F.inline(
+                F.array(
+                    F.struct(
+                        F.lit(0).alias("__k"),
+                        F.col("subj_entity").alias("a"),
+                        F.col("pred").alias("b"),
+                        F.col("obj_entity").alias("c"),
+                    ),
+                    F.struct(
+                        F.lit(1).alias("__k"),
+                        F.col("doc_id").alias("a"),
+                        F.col("subj_entity").alias("b"),
+                        F.lit(None).cast("string").alias("c"),
+                    ),
+                )
+            )
+        ).dropDuplicates(["__k", "a", "b", "c"])
+        is_fact = F.col("__k") == 0
+        return pairs.select(
+            F.lit(KIND_IRI).alias("s_kind"),
+            F.concat(
+                F.when(is_fact, F.lit(KG)).otherwise(F.lit(DOC_NS)), F.col("a")
+            ).alias("s_value"),
+            F.when(is_fact, F.col("b")).otherwise(F.lit(MENTIONS_PRED)).alias(
+                "p_value"
+            ),
+            F.lit(KIND_IRI).alias("o_kind"),
+            F.concat(
+                F.lit(KG), F.when(is_fact, F.col("c")).otherwise(F.col("b"))
+            ).alias("o_value"),
             F.lit(None).cast("string").alias("o_datatype"),
             F.lit(None).cast("string").alias("o_lang"),
             F.lit(None).cast("string").alias("g_value"),
-        ]
-        fact = (
-            rel.select("subj_entity", "pred", "obj_entity")
-            .dropDuplicates()
-            .select(
-                F.lit(KIND_IRI).alias("s_kind"),
-                F.concat(F.lit(KG), F.col("subj_entity")).alias("s_value"),
-                F.col("pred").alias("p_value"),
-                F.lit(KIND_IRI).alias("o_kind"),
-                F.concat(F.lit(KG), F.col("obj_entity")).alias("o_value"),
-                *nulls,
-            )
         )
-        prov = (
-            rel.select("doc_id", "subj_entity")
-            .dropDuplicates()
-            .select(
-                F.lit(KIND_IRI).alias("s_kind"),
-                F.concat(F.lit(DOC_NS), F.col("doc_id")).alias("s_value"),
-                F.lit(MENTIONS_PRED).alias("p_value"),
-                F.lit(KIND_IRI).alias("o_kind"),
-                F.concat(F.lit(KG), F.col("subj_entity")).alias("o_value"),
-                *nulls,
-            )
-        )
-        return fact.unionByName(prov)
 
     triples = ckpt.run_stage("s5_triples", _triples, inputs=["s2_relations", "s4_canon"])
 
