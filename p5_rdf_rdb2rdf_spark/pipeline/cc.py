@@ -138,7 +138,14 @@ def connected_components(
             )
             if stats is not None:
                 stats.update(path="driver", n_edges=len(sample))
-            return spark.createDataFrame(rows, schema)
+            import pandas as pd
+
+            # pandas -> Arrow local relation (r8): avoids pickling rows
+            # through py4j and keeps downstream joins/broadcasts of this
+            # frame in-JVM (see linking.entity_dictionary)
+            return spark.createDataFrame(
+                pd.DataFrame(rows, columns=["node", "component"]), schema
+            )
 
     nodes = sym.select(F.col("u").alias("node")).distinct()
     labels = nodes.withColumn("component", F.col("node")).localCheckpoint()

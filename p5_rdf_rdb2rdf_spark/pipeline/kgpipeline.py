@@ -103,9 +103,15 @@ def run_pipeline(
         ckpt = StageCheckpointer(spark, workdir)
     else:
         # single-consumer stages fuse into their consumer (no persist/count
-        # barrier): triples -> fused distinct+write always; spans -> relation
-        # extraction unless the invariant audit needs spans twice
-        fuse = {"s5_triples"} | (set() if audit_invariant else {"s1_spans"})
+        # barrier): triples -> fused distinct+write always; s4's canon map
+        # -> the s5 broadcast (r8: its input is either a driver-local
+        # relation from the fast path or the CC output, and s5 is its only
+        # consumer — the persist+count was one pure-scheduling job per run);
+        # spans -> relation extraction unless the invariant audit needs
+        # spans twice
+        fuse = {"s5_triples", "s4_canon"} | (
+            set() if audit_invariant else {"s1_spans"}
+        )
         ckpt = _NullCheckpointer(fuse=fuse)
     vocab = entity_vocab()
     dictionary = entity_dictionary(spark, vocab)
@@ -230,8 +236,15 @@ def run_pipeline(
                 out_rows.extend(
                     (m[2:], canon_ent) for m in mem if m.startswith("s:")
                 )
+            import pandas as pd
+
+            # pandas -> Arrow local relation (r8): the plain-list path
+            # pickles rows through py4j and forces the downstream s5
+            # broadcast build through the Python RDD path (see
+            # linking.entity_dictionary)
             local = spark.createDataFrame(
-                sorted(out_rows), "surface string, entity_id string"
+                pd.DataFrame(sorted(out_rows), columns=["surface", "entity_id"]),
+                "surface string, entity_id string",
             )
             return local.select(
                 F.xxhash64("surface", F.lit(0)).alias("h0"),

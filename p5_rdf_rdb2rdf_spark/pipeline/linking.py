@@ -23,8 +23,14 @@ def entity_dictionary(spark: SparkSession, vocab_rows: list[tuple[str, str, str]
     for eid, surface, _t in vocab_rows:
         canon[eid] = surface if eid not in canon else min(canon[eid], surface)
     rows = [(eid, s, t, canon[eid]) for eid, s, t in vocab_rows]
+    # via pandas so createDataFrame takes the Arrow path (enabled in
+    # session.py): the plain-list path pickles every row through py4j,
+    # measured ~0.3s per pipeline run for a ~30k-row vocabulary (r8)
+    pdf = pd.DataFrame(
+        rows, columns=["entity_id", "surface", "type", "canonical"]
+    )
     return spark.createDataFrame(
-        rows, "entity_id string, surface string, type string, canonical string"
+        pdf, "entity_id string, surface string, type string, canonical string"
     )
 
 
