@@ -50,6 +50,82 @@ class PipelineResult:
     lineage: dict
 
 
+def build_triples(relations: DataFrame, canon: DataFrame) -> DataFrame:
+    """Distinct fact + provenance triples from digest-keyed relations and
+    the canonical entity mapping — deduplicated on COMPACT keys BEFORE IRI
+    construction: the set-semantics shuffle carries (subj_entity, pred,
+    obj_entity) / (doc_id, subj_entity) — short ids — and the IRI string
+    concatenation runs post-shuffle on the already-distinct rows. At
+    10^12 docs this cuts the dominant shuffle's bytes by the IRI-prefix
+    expansion factor (~3-4x measured) versus deduplicating the full
+    8-column triple rows. Entity attachment probes the broadcast canon map
+    on the 128-bit surface digests (r6): the corpus-scale relations frame
+    never rehydrates surface strings.
+
+    ONE pass over the joined relations and ONE dedup exchange (r8; guide
+    §2.4): the r7 shape ran separate fact/prov dropDuplicates branches, so
+    the broadcast joins executed twice and the plan paid two shuffle
+    barriers. Tag-exploding both compact key tuples into (kind, a, b, c)
+    keeps the keys short (entity ids / doc ids, never IRIs), dedups both
+    sets in one exchange of the same total bytes, and rebuilds each set's
+    triple shape from the kind column post-shuffle. Equivalence: kind 0
+    rows are exactly distinct (subj_entity, pred, obj_entity), kind 1 rows
+    exactly distinct (doc_id, subj_entity) (doc_id is a string key; c is
+    constant NULL and dropDuplicates treats NULL keys as equal), and the
+    two sets can never collide across kinds — the union is therefore the
+    same distinct-by-construction triple set the write relies on (pinned
+    against the two-branch reference shape in tests/test_pipeline.py)."""
+    c = F.broadcast(canon)
+    subj = c.select(
+        F.col("h0").alias("subj_h0"),
+        F.col("h1").alias("subj_h1"),
+        F.col("entity_id").alias("subj_entity"),
+    )
+    obj = c.select(
+        F.col("h0").alias("obj_h0"),
+        F.col("h1").alias("obj_h1"),
+        F.col("entity_id").alias("obj_entity"),
+    )
+    rel = relations.join(subj, ["subj_h0", "subj_h1"], "inner").join(
+        obj, ["obj_h0", "obj_h1"], "inner"
+    )
+    pairs = rel.select(
+        F.inline(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("__k"),
+                    F.col("subj_entity").alias("a"),
+                    F.col("pred").alias("b"),
+                    F.col("obj_entity").alias("c"),
+                ),
+                F.struct(
+                    F.lit(1).alias("__k"),
+                    F.col("doc_id").alias("a"),
+                    F.col("subj_entity").alias("b"),
+                    F.lit(None).cast("string").alias("c"),
+                ),
+            )
+        )
+    ).dropDuplicates(["__k", "a", "b", "c"])
+    is_fact = F.col("__k") == 0
+    return pairs.select(
+        F.lit(KIND_IRI).alias("s_kind"),
+        F.concat(
+            F.when(is_fact, F.lit(KG)).otherwise(F.lit(DOC_NS)), F.col("a")
+        ).alias("s_value"),
+        F.when(is_fact, F.col("b")).otherwise(F.lit(MENTIONS_PRED)).alias(
+            "p_value"
+        ),
+        F.lit(KIND_IRI).alias("o_kind"),
+        F.concat(
+            F.lit(KG), F.when(is_fact, F.col("c")).otherwise(F.col("b"))
+        ).alias("o_value"),
+        F.lit(None).cast("string").alias("o_datatype"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit(None).cast("string").alias("g_value"),
+    )
+
+
 class _NullCheckpointer:
     """In-memory stage runner (benchmarks / exploratory runs): identical
     control flow, no per-stage parquet writes. Multi-consumer stage outputs
@@ -269,79 +345,7 @@ def run_pipeline(
     canon = ckpt.run_stage("s4_canon", _canon, inputs=["s3_links"])
 
     def _triples() -> DataFrame:
-        """Distinct triples, deduplicated on COMPACT keys BEFORE IRI
-        construction: the set-semantics shuffle carries (subj_entity, pred,
-        obj_entity) / (doc_id, subj_entity) — short ids — and the IRI string
-        concatenation runs post-shuffle on the already-distinct rows. At
-        10^12 docs this cuts the dominant shuffle's bytes by the IRI-prefix
-        expansion factor (~3-4x measured) versus deduplicating the full
-        8-column triple rows. Fact and provenance sets dedup independently
-        (they can never collide — different predicates) and the output is
-        globally distinct by construction. Entity attachment probes the
-        broadcast canon map on the 128-bit surface digests (r6): the
-        corpus-scale relations frame never rehydrates surface strings."""
-        c = F.broadcast(canon)
-        subj = c.select(
-            F.col("h0").alias("subj_h0"),
-            F.col("h1").alias("subj_h1"),
-            F.col("entity_id").alias("subj_entity"),
-        )
-        obj = c.select(
-            F.col("h0").alias("obj_h0"),
-            F.col("h1").alias("obj_h1"),
-            F.col("entity_id").alias("obj_entity"),
-        )
-        rel = relations.join(subj, ["subj_h0", "subj_h1"], "inner").join(
-            obj, ["obj_h0", "obj_h1"], "inner"
-        )
-        # ONE pass over rel and ONE dedup exchange (r8; guide §2.4): the r7
-        # shape ran separate fact/prov dropDuplicates branches, so the
-        # broadcast joins above executed twice and the plan paid two shuffle
-        # barriers of 3M rows each. Tag-exploding both compact key tuples
-        # into (kind, a, b, c) keeps the keys short (entity ids / doc ids,
-        # never IRIs), dedups both sets in one exchange of the same total
-        # bytes, and rebuilds each set's triple shape from the kind column
-        # post-shuffle. Equivalence: kind 0 rows are exactly distinct
-        # (subj_entity, pred, obj_entity), kind 1 rows exactly distinct
-        # (doc_id, subj_entity) (doc_id is a string key; c is constant NULL
-        # and dropDuplicates treats NULL keys as equal), and the two sets
-        # can never collide across kinds — the union below is therefore the
-        # same distinct-by-construction triple set the write relies on.
-        pairs = rel.select(
-            F.inline(
-                F.array(
-                    F.struct(
-                        F.lit(0).alias("__k"),
-                        F.col("subj_entity").alias("a"),
-                        F.col("pred").alias("b"),
-                        F.col("obj_entity").alias("c"),
-                    ),
-                    F.struct(
-                        F.lit(1).alias("__k"),
-                        F.col("doc_id").alias("a"),
-                        F.col("subj_entity").alias("b"),
-                        F.lit(None).cast("string").alias("c"),
-                    ),
-                )
-            )
-        ).dropDuplicates(["__k", "a", "b", "c"])
-        is_fact = F.col("__k") == 0
-        return pairs.select(
-            F.lit(KIND_IRI).alias("s_kind"),
-            F.concat(
-                F.when(is_fact, F.lit(KG)).otherwise(F.lit(DOC_NS)), F.col("a")
-            ).alias("s_value"),
-            F.when(is_fact, F.col("b")).otherwise(F.lit(MENTIONS_PRED)).alias(
-                "p_value"
-            ),
-            F.lit(KIND_IRI).alias("o_kind"),
-            F.concat(
-                F.lit(KG), F.when(is_fact, F.col("c")).otherwise(F.col("b"))
-            ).alias("o_value"),
-            F.lit(None).cast("string").alias("o_datatype"),
-            F.lit(None).cast("string").alias("o_lang"),
-            F.lit(None).cast("string").alias("g_value"),
-        )
+        return build_triples(relations, canon)
 
     triples = ckpt.run_stage("s5_triples", _triples, inputs=["s2_relations", "s4_canon"])
 

@@ -434,3 +434,88 @@ def test_fused_extractor_batch_dedup_paths_identical(spark, monkeypatch):
                 assert row.r.a0 == "entity001" and row.r.b0 == "entity002"
             elif t is None or t == "no match here":
                 assert row.r.a0 is None and row.r.a1 is None and row.r.a2 is None
+
+
+def test_build_triples_matches_two_branch_reference_and_plan(spark):
+    """r8 fused triple construction: `build_triples` tag-explodes fact and
+    provenance key tuples through ONE dropDuplicates instead of two
+    branches. Pins (a) exact set equality with the r7 two-branch reference
+    on data with planted duplicate facts AND duplicate provenance pairs,
+    (b) genuine set semantics (no duplicates survive), (c) exactly one
+    hash-partitioned dedup exchange in the plan (the broadcast exchanges
+    for the canon map don't count)."""
+    from pyspark.sql import functions as F
+
+    from p5_rdf_rdb2rdf_spark.pipeline.kgpipeline import (
+        DOC_NS,
+        MENTIONS_PRED,
+        build_triples,
+    )
+    from p5_rdf_rdb2rdf_spark.pipeline.corpus import KG
+    from p5_rdf_rdb2rdf_spark.terms import KIND_IRI
+
+    surfaces = {"alice": "e1", "acme": "e2", "bob": "e3"}
+    canon_rows = [(s, e) for s, e in surfaces.items()]
+    canon = spark.createDataFrame(canon_rows, "surface string, entity_id string").select(
+        F.xxhash64("surface", F.lit(0)).alias("h0"),
+        F.xxhash64("surface", F.lit(1)).alias("h1"),
+        "entity_id",
+    )
+
+    # (doc_id, offset, pred, subj_surface, obj_surface): doc-1 repeats the
+    # same fact twice (duplicate fact AND duplicate prov pair); doc-2
+    # repeats a fact seen in doc-1 (duplicate fact, distinct prov); one
+    # relation has an unlinked surface (inner join drops it)
+    raw = [
+        ("doc-1", 0, KG + "worksAt", "alice", "acme"),
+        ("doc-1", 7, KG + "worksAt", "alice", "acme"),
+        ("doc-1", 9, KG + "knows", "alice", "bob"),
+        ("doc-2", 0, KG + "worksAt", "alice", "acme"),
+        ("doc-2", 3, KG + "knows", "bob", "unlinked"),
+    ]
+    rel = spark.createDataFrame(
+        raw, "doc_id string, offset int, pred string, subj_surface string, obj_surface string"
+    ).select(
+        "doc_id", "offset", "pred",
+        F.xxhash64("subj_surface", F.lit(0)).alias("subj_h0"),
+        F.xxhash64("subj_surface", F.lit(1)).alias("subj_h1"),
+        F.xxhash64("obj_surface", F.lit(0)).alias("obj_h0"),
+        F.xxhash64("obj_surface", F.lit(1)).alias("obj_h1"),
+    )
+
+    got = build_triples(rel, canon)
+
+    # r7 two-branch reference shape, built inline
+    c = F.broadcast(canon)
+    subj = c.select(F.col("h0").alias("subj_h0"), F.col("h1").alias("subj_h1"),
+                    F.col("entity_id").alias("subj_entity"))
+    obj = c.select(F.col("h0").alias("obj_h0"), F.col("h1").alias("obj_h1"),
+                   F.col("entity_id").alias("obj_entity"))
+    j = rel.join(subj, ["subj_h0", "subj_h1"], "inner").join(obj, ["obj_h0", "obj_h1"], "inner")
+    nulls = [F.lit(None).cast("string").alias(n) for n in ("o_datatype", "o_lang", "g_value")]
+    fact = (j.select("subj_entity", "pred", "obj_entity").dropDuplicates()
+            .select(F.lit(KIND_IRI).alias("s_kind"),
+                    F.concat(F.lit(KG), F.col("subj_entity")).alias("s_value"),
+                    F.col("pred").alias("p_value"), F.lit(KIND_IRI).alias("o_kind"),
+                    F.concat(F.lit(KG), F.col("obj_entity")).alias("o_value"), *nulls))
+    prov = (j.select("doc_id", "subj_entity").dropDuplicates()
+            .select(F.lit(KIND_IRI).alias("s_kind"),
+                    F.concat(F.lit(DOC_NS), F.col("doc_id")).alias("s_value"),
+                    F.lit(MENTIONS_PRED).alias("p_value"), F.lit(KIND_IRI).alias("o_kind"),
+                    F.concat(F.lit(KG), F.col("subj_entity")).alias("o_value"), *nulls))
+    want = fact.unionByName(prov)
+
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w
+    assert len(g) == len(set(g))  # genuine set: planted duplicates collapsed
+    # 2 distinct facts + 2 distinct (doc, subj) prov pairs (the unlinked-
+    # object relation is dropped whole by the inner join, prov included)
+    assert len(g) == 4
+
+    # AQE's executed-plan string repeats the tree under "== Initial Plan =="
+    # once finalized — count the dedup exchange in the final section only
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    import re
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
